@@ -1,0 +1,159 @@
+"""Static-topology graph container (pytree).
+
+The reference materializes one PyG ``Data`` object per patient and batches
+them block-diagonally (reference: dataloader/multiloader.py:935-1053,
+train.py:316-327).  But per fold the topology is *identical across patients*
+(multiloader.py:687-698 assigns the same ``edge_index`` to every patient) —
+so on TPU we store the topology once with static shapes and batch only the
+per-patient features.  Every conv then runs as batched gather + segment
+reduce over one shared, destination-sorted edge list: static shapes, no
+recompilation, MXU-shaped tensors.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sort_by_dst(edge_index: np.ndarray, edge_attr: Optional[np.ndarray]):
+    order = np.argsort(edge_index[1], kind="stable")
+    edge_index = edge_index[:, order]
+    edge_attr = edge_attr[order] if edge_attr is not None else None
+    return edge_index, edge_attr
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Graph:
+    """A single static graph topology, destination-sorted, padded.
+
+    Fields
+    ------
+    senders:   (E,) int32 — source node of each edge (gather index).
+    receivers: (E,) int32 — destination node of each edge; sorted ascending.
+    edge_attr: (E, A) float32 or None — per-edge attributes.
+    edge_mask: (E,) bool — False on padding edges (they point at node n_nodes
+               slot which is dropped, and their attr is zeroed).
+    n_nodes:   static int — number of real nodes.
+    n_edges:   static int — number of real edges (<= E).
+    """
+
+    senders: jax.Array
+    receivers: jax.Array
+    edge_attr: Optional[jax.Array]
+    edge_mask: jax.Array
+    n_nodes: int = dataclasses.field(metadata=dict(static=True))
+    n_edges: int = dataclasses.field(metadata=dict(static=True))
+
+    @staticmethod
+    def from_edges(
+        edge_index: np.ndarray,
+        edge_attr: Optional[np.ndarray],
+        n_nodes: int,
+        pad_to: Optional[int] = None,
+    ) -> "Graph":
+        """Build a destination-sorted, optionally padded Graph.
+
+        Padding edges get senders/receivers = n_nodes - 1 with edge_mask=False
+        and zero edge_attr, so a masked segment-sum ignores them.
+        """
+        edge_index = np.asarray(edge_index, dtype=np.int32)
+        if edge_index.size == 0:
+            edge_index = edge_index.reshape(2, 0)
+        n_edges = edge_index.shape[1]
+        if edge_attr is not None:
+            edge_attr = np.asarray(edge_attr, dtype=np.float32)
+            if edge_attr.ndim == 1:
+                edge_attr = edge_attr[:, None]
+        edge_index, edge_attr = _sort_by_dst(edge_index, edge_attr)
+        pad_to = pad_to if pad_to is not None else n_edges
+        assert pad_to >= n_edges
+        pad = pad_to - n_edges
+        mask = np.concatenate([np.ones(n_edges, bool), np.zeros(pad, bool)])
+        if pad:
+            pad_idx = np.full((2, pad), max(n_nodes - 1, 0), dtype=np.int32)
+            edge_index = np.concatenate([edge_index, pad_idx], axis=1)
+            if edge_attr is not None:
+                edge_attr = np.concatenate(
+                    [edge_attr, np.zeros((pad, edge_attr.shape[1]), np.float32)]
+                )
+        return Graph(
+            senders=jnp.asarray(edge_index[0]),
+            receivers=jnp.asarray(edge_index[1]),
+            edge_attr=jnp.asarray(edge_attr) if edge_attr is not None else None,
+            edge_mask=jnp.asarray(mask),
+            n_nodes=int(n_nodes),
+            n_edges=int(n_edges),
+        )
+
+    def with_self_loops(self, fill_value: float = 1.0) -> "Graph":
+        """Remove existing self loops then append one per node.
+
+        Mirrors PyG ``remove_self_loops`` + ``add_self_loops`` used by the
+        reference SAGEConv (models/gcn_lib/sparse/torch_vertex.py:272-273);
+        self-loop edge_attr is ``fill_value`` (PyG default 1.0).  Host-side
+        (numpy) — topology is fixed per fold so this runs once.
+        """
+        send = np.asarray(self.senders)[np.asarray(self.edge_mask)]
+        recv = np.asarray(self.receivers)[np.asarray(self.edge_mask)]
+        attr = (
+            np.asarray(self.edge_attr)[np.asarray(self.edge_mask)]
+            if self.edge_attr is not None
+            else None
+        )
+        keep = send != recv
+        send, recv = send[keep], recv[keep]
+        if attr is not None:
+            attr = attr[keep]
+        loop = np.arange(self.n_nodes, dtype=np.int32)
+        send = np.concatenate([send, loop])
+        recv = np.concatenate([recv, loop])
+        if attr is not None:
+            attr = np.concatenate(
+                [attr, np.full((self.n_nodes, attr.shape[1]), fill_value, np.float32)]
+            )
+        return Graph.from_edges(np.stack([send, recv]), attr, self.n_nodes)
+
+    def without_self_loops(self) -> "Graph":
+        """Drop self-loop edges (host-side). GCNConv expects this form —
+        it adds the +I term internally with unit weight."""
+        send = np.asarray(self.senders)[np.asarray(self.edge_mask)]
+        recv = np.asarray(self.receivers)[np.asarray(self.edge_mask)]
+        attr = (
+            np.asarray(self.edge_attr)[np.asarray(self.edge_mask)]
+            if self.edge_attr is not None
+            else None
+        )
+        keep = send != recv
+        send, recv = send[keep], recv[keep]
+        if attr is not None:
+            attr = attr[keep]
+        return Graph.from_edges(np.stack([send, recv]), attr, self.n_nodes)
+
+    def pad_edges_to(self, pad_to: int) -> "Graph":
+        send = np.asarray(self.senders)[: self.n_edges]
+        recv = np.asarray(self.receivers)[: self.n_edges]
+        attr = (
+            np.asarray(self.edge_attr)[: self.n_edges]
+            if self.edge_attr is not None
+            else None
+        )
+        return Graph.from_edges(
+            np.stack([send, recv]), attr, self.n_nodes, pad_to=pad_to
+        )
+
+    @property
+    def num_padded_edges(self) -> int:
+        return int(self.senders.shape[0])
+
+    def in_degree(self) -> jax.Array:
+        """In-degree per node counting only real edges."""
+        seg = jnp.where(self.edge_mask, self.receivers, self.n_nodes)
+        return jax.ops.segment_sum(
+            jnp.ones_like(self.receivers, jnp.float32), seg, self.n_nodes + 1
+        )[: self.n_nodes]

@@ -1,0 +1,485 @@
+"""Message-passing convolution zoo.
+
+Re-implements the reference conv layer semantics
+(models/gcn_lib/sparse/torch_vertex.py, torch_message.py) TPU-first: every
+layer is a batched gather + segment-reduce over a static dst-sorted edge
+list (see ops/spmm.py), with linear message transforms commuted past the
+aggregation wherever exactness allows (mean/sum are linear), so the hot loop
+is SpMM + one GEMM on the MXU instead of per-edge matmuls.
+
+Conventions:
+  * x: (..., N, C) — typically (B, N, C).
+  * Layers that mirror PyG convs with add_self_loops=True (SAGE, GCN, GAT)
+    expect a graph built via Graph.with_self_loops(); GCNConv handles its own
+    normalization internally.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multilevel_gnn_tpu.core.graph import Graph
+from multilevel_gnn_tpu.nn.basic import MLP, Linear, Norm, act, torch_linear_init, xavier_uniform
+from multilevel_gnn_tpu.ops import segment as seg
+from multilevel_gnn_tpu.ops import spmm
+
+SOFTMAX_AGGRS = ("softmax", "softmax_sg", "softmax_sum")
+POWER_AGGRS = ("power", "power_sum")
+
+
+def _edge_weight(graph: Graph, edge_attr):
+    if edge_attr is None:
+        return None
+    return edge_attr
+
+
+class MsgNorm(nn.Module):
+    """reference torch_message.py:168-179 MsgNorm."""
+
+    learn_msg_scale: bool = False
+
+    @nn.compact
+    def __call__(self, x, msg):
+        if self.learn_msg_scale:
+            s = self.param("msg_scale", lambda k, sh: jnp.ones(sh), (1,))
+        else:
+            s = 1.0
+        msg = msg / jnp.clip(
+            jnp.linalg.norm(msg, axis=-1, keepdims=True), 1e-12, None
+        )
+        x_norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        return msg * x_norm * s
+
+
+class GenAggregate(nn.Module):
+    """GENConv generalized aggregation (reference torch_message.py:44-85).
+
+    Aggregators: add/mean/max + softmax, softmax_sg, softmax_sum (learnable
+    temperature t, degree-scaled by sigmoid(y)) + power, power_sum (learnable
+    power p).
+    """
+
+    aggr: str = "softmax"
+    t: float = 1.0
+    learn_t: bool = False
+    p: float = 1.0
+    learn_p: bool = False
+    y: float = 0.0
+    learn_y: bool = False
+
+    @nn.compact
+    def __call__(self, msg, graph: Graph):
+        recv, n, mask = graph.receivers, graph.n_nodes, graph.edge_mask
+        if self.aggr in ("add", "sum"):
+            return seg.segment_sum(msg, recv, n, mask=mask)
+        if self.aggr == "mean":
+            return seg.segment_mean(msg, recv, n, mask=mask)
+        if self.aggr == "max":
+            return seg.segment_max(msg, recv, n, mask=mask)
+        if self.aggr in SOFTMAX_AGGRS:
+            if self.learn_t and self.aggr in ("softmax", "softmax_sum"):
+                t = self.param("t", lambda k, s: jnp.full(s, self.t), (1,))
+                w = seg.segment_softmax(msg * t, recv, n, mask=mask)
+            else:
+                # reference computes softmax weights under no_grad when t is
+                # not learned (torch_message.py:54-55)
+                w = seg.segment_softmax(
+                    jax.lax.stop_gradient(msg) * self.t, recv, n, mask=mask
+                )
+                w = jax.lax.stop_gradient(w)
+            out = seg.segment_sum(msg * w, recv, n, mask=mask)
+            if self.aggr == "softmax_sum":
+                y = self.param("y", lambda k, s: jnp.full(s, self.y), (1,))
+                if not self.learn_y:
+                    y = jax.lax.stop_gradient(y)
+                deg = graph.in_degree()[:, None]
+                out = jnp.power(deg, jax.nn.sigmoid(y)) * out
+            return out
+        if self.aggr in POWER_AGGRS:
+            min_v, max_v = 1e-7, 1e1
+            if self.learn_p:
+                p = self.param("p", lambda k, s: jnp.full(s, self.p), (1,))
+            else:
+                p = self.p
+            msg = jnp.clip(msg, min_v, max_v)
+            out = seg.segment_mean(jnp.power(msg, p), recv, n, mask=mask)
+            out = jnp.clip(out, min_v, max_v)
+            out = jnp.power(out, 1.0 / p)
+            if self.aggr == "power_sum":
+                y = self.param("y", lambda k, s: jnp.full(s, self.y), (1,))
+                if not self.learn_y:
+                    y = jax.lax.stop_gradient(y)
+                deg = graph.in_degree()[:, None]
+                out = jnp.power(deg, jax.nn.sigmoid(y)) * out
+            return out
+        raise NotImplementedError(self.aggr)
+
+
+class GENConv(nn.Module):
+    """GENeralized Graph Convolution (reference torch_vertex.py:12-104)."""
+
+    in_dim: int
+    emb_dim: int
+    aggr: str = "softmax"
+    t: float = 1.0
+    learn_t: bool = False
+    p: float = 1.0
+    learn_p: bool = False
+    y: float = 0.0
+    learn_y: bool = False
+    msg_norm: bool = False
+    learn_msg_scale: bool = True
+    encode_edge: bool = False
+    edge_feat_dim: Optional[int] = None
+    norm_type: str = "batch"
+    mlp_layers: int = 2
+    eps: float = 1e-7
+    pca_only: bool = False
+
+    def _feature_encoder_channels(self):
+        chans = [self.in_dim]
+        for _ in range(self.mlp_layers - 1):
+            chans.append(self.in_dim * 2)
+        chans.append(self.emb_dim)
+        return chans
+
+    @nn.compact
+    def __call__(self, x, graph: Graph, edge_attr=None, training: bool = False):
+        encoder = MLP(
+            self._feature_encoder_channels(),
+            norm_type=self.norm_type,
+            last_lin=True,
+            name="feature_encoder",
+        )
+        if self.pca_only:
+            return encoder(x, training)
+        if self.encode_edge and edge_attr is not None:
+            e = Linear(self.in_dim, name="edge_encoder")(edge_attr)
+        else:
+            e = edge_attr
+        msg = spmm.gather(x, graph.senders)
+        if e is not None:
+            msg = msg + e
+        msg = jax.nn.relu(msg) + self.eps
+        m = GenAggregate(
+            self.aggr, self.t, self.learn_t, self.p, self.learn_p, self.y,
+            self.learn_y, name="aggregate",
+        )(msg, graph)
+        if self.msg_norm:
+            m = MsgNorm(self.learn_msg_scale, name="msg_norm")(x, m)
+        h = x + m
+        return encoder(h, training)
+
+
+class PathwayConv(nn.Module):
+    """Outer-product-message conv (reference torch_vertex.py:107-178)."""
+
+    in_dim: int
+    emb_dim: int
+    edge_feat_dim: int = 2
+    aggr: str = "softmax"
+    t: float = 1.0
+    learn_t: bool = False
+    norm_type: str = "batch"
+    mlp_layers: int = 2
+
+    @nn.compact
+    def __call__(self, x, graph: Graph, edge_attr=None, mask=None, training=False):
+        x_j = spmm.gather(x, graph.senders)
+        if edge_attr is not None:
+            # msg = msg_encoder((x_j outer e).flatten)
+            outer = x_j[..., :, None] * edge_attr[..., None, :]
+            outer = outer.reshape(outer.shape[:-2] + (-1,))
+            msg = Linear(self.in_dim, name="msg_encoder")(outer)
+        else:
+            msg = x_j
+        m = GenAggregate(self.aggr, self.t, self.learn_t, name="aggregate")(
+            msg, graph
+        )
+        h = x + m
+        chans = [self.in_dim]
+        for _ in range(self.mlp_layers - 1):
+            chans.append(self.in_dim * 2)
+        chans.append(self.emb_dim)
+        out = MLP(chans, norm_type=self.norm_type, last_lin=True, name="mlp")(
+            h, training
+        )
+        out = jax.nn.relu(out)
+        if mask is not None:
+            out = out * mask
+        return out
+
+
+class RSAGEConv(nn.Module):
+    """(R)SAGE conv with edge-attr-scaled messages (torch_vertex.py:226-304).
+
+    The conv used by all three shipped cohort configs (gnn_name: sage).
+    message: (x_j * edge_attr) @ W   [relative: (x_j*attr - x_i) @ W]
+    aggregate: mean over in-edges (self-loops included)
+    update: MLP(cat(x, aggr)) [+ optional L2 normalize]
+
+    The per-edge matmul is commuted past the (linear) mean aggregation:
+    aggr = segment_mean(x_j * attr) @ W — one SpMM + one GEMM.
+    Expects a self-looped graph (PyG add_self_loops, fill 1.0).
+    """
+
+    in_channels: int
+    out_channels: int
+    act_type: str = "relu"
+    normalize: bool = False
+    mlp_norm: Optional[str] = None
+    use_bias: bool = True
+    relative: bool = False
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, graph: Graph, edge_attr=None, training: bool = False):
+        w = _edge_weight(graph, edge_attr)
+        mean_j = spmm.spmm_mean(x, graph, edge_weight=w)
+        if self.relative:
+            mean_j = mean_j - x
+        # lin_r: Linear(in, out, bias=False) — PyG SAGEConv root linear reused
+        # as the message transform by the reference subclass.
+        aggr = nn.Dense(
+            self.out_channels,
+            use_bias=False,
+            kernel_init=torch_linear_init,
+            name="lin_r",
+        )(mean_j)
+        h = jnp.concatenate([x, aggr], axis=-1)
+        out = MLP(
+            [self.in_channels + self.out_channels, self.out_channels],
+            act_type=self.act_type,
+            norm_type=self.mlp_norm,
+            use_bias=self.use_bias,
+            drop=self.drop,
+            name="nn",
+        )(h, training)
+        if self.normalize:
+            out = out / jnp.clip(
+                jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12, None
+            )
+        return out
+
+
+class GCNConv(nn.Module):
+    """Kipf-Welling GCN with symmetric normalization (SemiGCNConv wrapper,
+    reference torch_vertex.py:307-324). Handles self-loops internally;
+    expects a graph WITHOUT self-loops."""
+
+    in_channels: int
+    out_channels: int
+    act_type: Optional[str] = "relu"
+    norm_type: Optional[str] = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, graph: Graph, edge_attr=None, training: bool = False):
+        xw = nn.Dense(
+            self.out_channels,
+            use_bias=False,
+            kernel_init=xavier_uniform,
+            name="lin",
+        )(x)
+        deg = graph.in_degree() + 1.0  # A + I
+        dinv = jax.lax.rsqrt(deg)
+        coef = dinv[graph.senders] * dinv[graph.receivers]
+        agg = spmm.spmm_sum(xw, graph, edge_weight=coef)
+        agg = agg + xw * (dinv * dinv)[:, None]  # self loop contribution
+        if self.use_bias:
+            b = self.param("bias", jax.nn.initializers.zeros, (self.out_channels,))
+            agg = agg + b
+        out = act(agg, self.act_type)
+        if self.norm_type:
+            out = Norm(self.norm_type, self.out_channels)(out, training)
+        return out
+
+
+class GATConv(nn.Module):
+    """Multi-head graph attention (PyG GATConv semantics; reference
+    torch_vertex.py:207-223 wrapper w/ post act). Expects self-looped graph."""
+
+    in_channels: int
+    out_per_head: int
+    heads: int = 8
+    act_type: Optional[str] = "relu"
+    norm_type: Optional[str] = None
+    use_bias: bool = True
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, graph: Graph, edge_attr=None, training: bool = False):
+        H, D = self.heads, self.out_per_head
+        xw = nn.Dense(
+            H * D, use_bias=False, kernel_init=xavier_uniform, name="lin"
+        )(x)
+        xw = xw.reshape(xw.shape[:-1] + (H, D))
+        att_src = self.param("att_src", xavier_uniform, (1, H, D))
+        att_dst = self.param("att_dst", xavier_uniform, (1, H, D))
+        a_src = (xw * att_src).sum(-1)  # (..., N, H)
+        a_dst = (xw * att_dst).sum(-1)
+        alpha = spmm.gather(a_src, graph.senders) + spmm.gather(
+            a_dst, graph.receivers
+        )
+        alpha = jax.nn.leaky_relu(alpha, self.negative_slope)
+        alpha = seg.segment_softmax(
+            alpha, graph.receivers, graph.n_nodes, mask=graph.edge_mask
+        )
+        msg = spmm.gather(xw, graph.senders, axis=-3) * alpha[..., None]
+        flat = msg.reshape(msg.shape[:-2] + (H * D,))
+        out = seg.segment_sum(
+            flat, graph.receivers, graph.n_nodes, mask=graph.edge_mask
+        )
+        if self.use_bias:
+            b = self.param("bias", jax.nn.initializers.zeros, (H * D,))
+            out = out + b
+        out = act(out, self.act_type)
+        if self.norm_type:
+            out = Norm(self.norm_type, H * D)(out, training)
+        return out
+
+
+class GINConv(nn.Module):
+    """GIN (reference torch_vertex.py:327-335): MLP((1+eps)x + sum_j x_j)."""
+
+    in_channels: int
+    out_channels: int
+    act_type: str = "relu"
+    norm_type: Optional[str] = None
+    use_bias: bool = True
+    eps: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, graph: Graph, edge_attr=None, training: bool = False):
+        agg = spmm.spmm_sum(x, graph)
+        h = (1.0 + self.eps) * x + agg
+        return MLP(
+            [self.in_channels, self.out_channels],
+            act_type=self.act_type,
+            norm_type=self.norm_type,
+            use_bias=self.use_bias,
+            name="nn",
+        )(h, training)
+
+
+class MRConv(nn.Module):
+    """Max-relative conv (reference torch_vertex.py:181-193)."""
+
+    in_channels: int
+    out_channels: int
+    act_type: str = "relu"
+    norm_type: Optional[str] = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, graph: Graph, edge_attr=None, training: bool = False):
+        diff = spmm.gather(x, graph.senders) - spmm.gather(x, graph.receivers)
+        agg = seg.segment_max(
+            diff, graph.receivers, graph.n_nodes, mask=graph.edge_mask
+        )
+        h = jnp.concatenate([x, agg], axis=-1)
+        return MLP(
+            [2 * self.in_channels, self.out_channels],
+            act_type=self.act_type,
+            norm_type=self.norm_type,
+            use_bias=self.use_bias,
+            name="nn",
+        )(h, training)
+
+
+class EdgeConv(nn.Module):
+    """DGCNN edge conv (reference torch_vertex.py:196-204):
+    out = max_j MLP(cat(x_i, x_j - x_i))."""
+
+    in_channels: int
+    out_channels: int
+    act_type: str = "relu"
+    norm_type: Optional[str] = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, graph: Graph, edge_attr=None, training: bool = False):
+        x_i = spmm.gather(x, graph.receivers)
+        x_j = spmm.gather(x, graph.senders)
+        msg = jnp.concatenate([x_i, x_j - x_i], axis=-1)
+        msg = MLP(
+            [2 * self.in_channels, self.out_channels],
+            act_type=self.act_type,
+            norm_type=self.norm_type,
+            use_bias=self.use_bias,
+            name="nn",
+        )(msg, training)
+        return seg.segment_max(
+            msg, graph.receivers, graph.n_nodes, mask=graph.edge_mask
+        )
+
+
+class GraphConvLayer(nn.Module):
+    """Static graph conv dispatcher (reference torch_vertex.py:338-363).
+
+    conv in {edge, mr, gat, gcn, gin, sage, rsage}; 'sage' is the conv used
+    by all shipped cohort configs.
+    """
+
+    in_channels: int
+    out_channels: int
+    conv: str = "edge"
+    act_type: str = "relu"
+    norm: Optional[object] = None  # last-layer L2-normalize flag for sage
+    use_bias: bool = True
+    heads: int = 8
+    mlp_norm: Optional[str] = None
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, graph: Graph, edge_attr=None, training: bool = False):
+        c = self.conv.lower()
+        # reference SAGEConv: normalize=True only when the norm flag is
+        # truthy (torch_vertex.py:257-263: ctor arg then self.normalize=norm)
+        if c == "sage":
+            return RSAGEConv(
+                self.in_channels, self.out_channels, self.act_type,
+                bool(self.norm), self.mlp_norm, self.use_bias, False,
+                self.drop, name="gconv",
+            )(x, graph, edge_attr, training)
+        if c == "rsage":
+            return RSAGEConv(
+                self.in_channels, self.out_channels, self.act_type,
+                bool(self.norm), self.mlp_norm, self.use_bias, True,
+                self.drop, name="gconv",
+            )(x, graph, edge_attr, training)
+        if c == "gcn":
+            return GCNConv(
+                self.in_channels, self.out_channels, self.act_type,
+                self.norm if isinstance(self.norm, str) else None,
+                self.use_bias, name="gconv",
+            )(x, graph, edge_attr, training)
+        if c == "gat":
+            return GATConv(
+                self.in_channels, self.out_channels // self.heads, self.heads,
+                self.act_type,
+                self.norm if isinstance(self.norm, str) else None,
+                self.use_bias, name="gconv",
+            )(x, graph, edge_attr, training)
+        if c == "gin":
+            return GINConv(
+                self.in_channels, self.out_channels, self.act_type,
+                self.norm if isinstance(self.norm, str) else None,
+                self.use_bias, name="gconv",
+            )(x, graph, edge_attr, training)
+        if c == "mr":
+            return MRConv(
+                self.in_channels, self.out_channels, self.act_type,
+                self.norm if isinstance(self.norm, str) else None,
+                self.use_bias, name="gconv",
+            )(x, graph, edge_attr, training)
+        if c == "edge":
+            return EdgeConv(
+                self.in_channels, self.out_channels, self.act_type,
+                self.norm if isinstance(self.norm, str) else None,
+                self.use_bias, name="gconv",
+            )(x, graph, edge_attr, training)
+        raise NotImplementedError(f"conv {self.conv} is not implemented")
