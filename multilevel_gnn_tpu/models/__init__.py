@@ -1,0 +1,21 @@
+"""Model registry (reference models/__init__.py:11-24)."""
+from multilevel_gnn_tpu.models.multilevel_gnn import MultilevelGNN  # noqa: F401
+
+
+def get_model(name: str):
+    from multilevel_gnn_tpu.models import multilevel_gnn, pathcnn, deepergcn
+    from multilevel_gnn_tpu.models import autoencoder, vae, vq_vae, multiomix
+
+    registry = {
+        "multilevel_gnn": multilevel_gnn.MultilevelGNN,
+        "multilevel_gnn_seq": multilevel_gnn.MultilevelGNN,  # seq refactor == same math
+        "pathcnn": pathcnn.PathCNN,
+        "deepergcn": deepergcn.DeeperGCN,
+        "mulitomix_gcn": multiomix.MultiOmixGCN,  # (sic) reference key spelling
+        "multiomix_gcn": multiomix.MultiOmixGCN,
+        "autoencoder": autoencoder.AutoEncoder,
+        "vae": vae.VAE,
+        "mmd_vae": vae.VAE,
+        "vq_vae": vq_vae.VQVAE,
+    }
+    return registry[name]

@@ -1,0 +1,303 @@
+"""MultilevelGNN — the flagship model (all three shipped cohort configs).
+
+Re-implements reference models/multilevel_gnn.py:14-394 TPU-first:
+
+  * input outer-product node embedding        (ref :150-151)
+  * GNN stack (sage by default) w/ res/dense/repeat-mask modes (:184-204)
+  * value-attention merge x * mask            (:205-211)
+  * gene -> PCA-row gather w/ -1 handling     (:212-217)
+  * learnable-PCA pathway contraction         (:221-240) as MXU matmuls
+    (ops/pathway.py) instead of scatter_reduce
+  * pathway reorder, 1x1-conv stack, MaxPool, age concat, softmax head
+    (:241-291)
+  * feature losses: batch-std log loss + per-pathway PCA column
+    cosine-independence loss (:329-348) — including the reference's
+    detached-params and inner-loop-indentation quirks, preserved for parity.
+
+Everything is batched over patients with a single shared fold topology
+(FoldContext); shapes are fully static per fold.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multilevel_gnn_tpu.core.batch import Batch, FoldContext
+from multilevel_gnn_tpu.core.config import Config
+from multilevel_gnn_tpu.nn.basic import Linear, act, xavier_uniform
+from multilevel_gnn_tpu.nn.conv import GraphConvLayer
+from multilevel_gnn_tpu.ops import segment as seg_ops
+from multilevel_gnn_tpu.ops.pathway import pathway_contract, slots_to_image
+
+
+def _node_embedding_init(cfg: Config):
+    t = cfg.embedding_init_type
+
+    def init(key, shape, dtype=jnp.float32):
+        if t == "xavier":
+            return xavier_uniform(key, shape, dtype)
+        if t == "ones":
+            return jnp.ones(shape, dtype)
+        if t == "constant":
+            return jnp.full(shape, cfg.emb_val, dtype)
+        # "uniform" and the torch.rand fallback are both U[0,1)
+        return jax.random.uniform(key, shape, dtype)
+
+    return init
+
+
+def _pca_param_init(cfg: Config):
+    def init(key, shape, dtype=jnp.float32):
+        if cfg.pca_init_type is None:
+            return xavier_uniform(key, shape, dtype)
+        if cfg.pca_init_type == "orthogonal":
+            return jax.nn.initializers.orthogonal()(key, shape, dtype)
+        # "normal" keeps the torch.rand U[0,1) data (reference :80-81)
+        return jax.random.uniform(key, shape, dtype)
+
+    return init
+
+
+class ConvHead(nn.Module):
+    """PathCNN-style head: 1x1/kxk conv stack + MaxPool + dropout + flatten
+    + age concat + MLP softmax (reference multilevel_gnn.py:98-128,262-291).
+
+    Input image is (B, C, P, W) [NCHW as in torch]; convs run NHWC
+    internally (TPU-native layout) and the flatten is NCHW row-major so the
+    head weights line up with the reference."""
+
+    cfg: Config
+    in_channels: int
+
+    @nn.compact
+    def __call__(self, x, age, training: bool = False):
+        cfg = self.cfg
+        h = jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC
+        for out_ch, k in zip(cfg.conv_channel_list, cfg.conv_kernel_list):
+            h = nn.Conv(
+                out_ch,
+                kernel_size=(k, k),
+                padding=[(k // 2, k // 2), (k // 2, k // 2)],
+                kernel_init=xavier_uniform,
+            )(h)
+            h = jax.nn.relu(h)
+        if len(cfg.used_omics) != 3:
+            cols = []
+            for i in cfg.used_omics:
+                ii = int(i)
+                cols.extend(range(ii * cfg.pca_dim, (ii + 1) * cfg.pca_dim))
+            h = h[:, :, jnp.asarray(cols), :]
+        h = nn.max_pool(
+            h,
+            window_shape=(cfg.pathway_pool_dim, cfg.pca_pool_dim),
+            strides=(cfg.pathway_pool_dim, cfg.pca_pool_dim),
+        )
+        drop_rate = 0.25 if cfg.feature_drop else 0.0
+        if drop_rate > 0:
+            h = nn.Dropout(drop_rate, deterministic=not training)(h)
+        h = jnp.transpose(h, (0, 3, 1, 2))  # back to NCHW for flatten parity
+        h = h.reshape(h.shape[0], -1)
+        if cfg.use_age:
+            h = jnp.concatenate([h, age[:, None]], axis=-1)
+        h = Linear(cfg.head_dim, kernel_init=xavier_uniform, name="head_0")(h)
+        h = jax.nn.relu(h)
+        h = nn.Dropout(0.5, deterministic=not training)(h)
+        h = Linear(2, kernel_init=xavier_uniform, name="head_1")(h)
+        return jax.nn.softmax(h, axis=-1)
+
+
+class MultilevelGNN(nn.Module):
+    cfg: Config
+
+    @nn.compact
+    def __call__(
+        self,
+        batch: Batch,
+        ctx: FoldContext,
+        training: bool = False,
+    ) -> Tuple[jax.Array, jax.Array]:
+        image, pca_feature = self.encode(batch, ctx, training)
+        pred = ConvHead(self.cfg, self.cfg.final_channels, name="conv_head")(
+            image, batch.age, training
+        )
+        return pred, pca_feature
+
+    def gnn_stack(self, x, mask_x, ctx: FoldContext, training: bool):
+        """Shared GNN trunk (reference :184-211). x: (B, NODES, D)."""
+        cfg = self.cfg
+        edge_attr = ctx.graph.edge_attr if cfg.weighted_edge else None
+        emb_dim = x.shape[-1]
+        # reference :66-71 builds first + (num_layers-2) middles + last, so
+        # num_layers<=2 still yields two blocks
+        dims = (
+            [(emb_dim, cfg.hidden_channels)]
+            + [(cfg.hidden_channels, cfg.hidden_channels)]
+            * max(cfg.num_layers - 2, 0)
+            + [(cfg.hidden_channels, cfg.final_channels)]
+        )
+        n_layers = len(dims)
+        feature_list = []
+        for i, (in_ch, out_ch) in enumerate(dims):
+            layer = GraphConvLayer(
+                in_ch,
+                out_ch,
+                conv=cfg.gnn_name,
+                act_type=cfg.gnn_act,
+                norm=cfg.gnn_last_norm if i == n_layers - 1 else None,
+                heads=cfg.final_head if i == n_layers - 1 else 8,
+                mlp_norm=cfg.gnn_mlp_norm,
+                drop=cfg.gnn_dropout,
+                name=f"gnn_{i}",
+            )
+            if cfg.dense_gnn:
+                x = layer(x, ctx.graph, edge_attr, training)
+                feature_list.append(x)
+            elif cfg.resgnn:
+                x = layer(x, ctx.graph, edge_attr, training) + x
+            else:
+                x = layer(x, ctx.graph, edge_attr, training)
+            if (
+                i + 1 != n_layers
+                and cfg.repeat_mask
+                and (i + 1) % cfg.repeat_cyclic == 0
+            ):
+                if cfg.repeat_norm:
+                    x = x / jnp.sqrt((x**2).sum(-1))[..., None]
+                x = x * mask_x[..., None]
+        if cfg.dense_gnn:
+            x = jnp.concatenate(feature_list, axis=-1)
+        if cfg.value_att_mask:
+            if cfg.merge_mode == "mult":
+                x = x * mask_x[..., None]
+            else:  # 'add' and 'cat' are the same op in the reference (:208-211)
+                x = cfg.add_coef1 * x + cfg.add_coef2 * mask_x[..., None]
+        return x
+
+    def gather_pca_rows(self, x, ctx: FoldContext):
+        """Gene -> PCA-row gather with torch negative-index semantics for
+        missing (-1) entries (reference :212-217)."""
+        cfg = self.cfg
+        nodes = x.shape[-2]
+        match = ctx.gene_pca_match
+        idx = jnp.where(match >= 0, match, nodes + match)
+        xg = jnp.take(x, idx, axis=-2)
+        if cfg.pca_match_mask:
+            xg = xg * (match >= 0).astype(x.dtype)[:, None]
+        return xg
+
+    def learnable_pca_image(self, xg, ctx: FoldContext):
+        """Learnable-PCA contraction into the (B, C, P, 3K) pathway image
+        (reference :221-240)."""
+        cfg = self.cfg
+        pca_params = self.param(
+            "learnable_pca_params",
+            _pca_param_init(cfg),
+            (ctx.num_pca_rows, cfg.pca_dim),
+        )
+        if cfg.freeze_pca_weight:
+            pca_params = jax.lax.stop_gradient(pca_params)
+        p = pca_params * ctx.info_mask if cfg.mutual_info_mask else pca_params
+        if not cfg.mutual_info_mask:
+            # reference :231-236: without the MI mask the masked product is
+            # still used unless final_channels == 1
+            if cfg.final_channels != 1:
+                p = pca_params * ctx.info_mask
+        n_slots = 3 * cfg.pathway_num
+        method = "segment" if cfg.kernel_backend == "xla_segment" else "matmul"
+        out = pathway_contract(xg, p, ctx.raw_indice, n_slots, method=method)
+        image = slots_to_image(out, cfg.pathway_num)
+        if cfg.reorder_pathway:
+            image = jnp.take(image, ctx.reorder_idxs, axis=2)
+        return image, pca_params
+
+    def encode(self, batch: Batch, ctx: FoldContext, training: bool = False):
+        cfg = self.cfg
+        mask_x = batch.x  # (B, NODES)
+        x = batch.x
+        if cfg.input_drop is not None:
+            x = nn.Dropout(cfg.input_drop, deterministic=not training)(x)
+        if cfg.node_embedding:
+            emb = self.param(
+                "node_embedding",
+                _node_embedding_init(cfg),
+                (ctx.graph.n_nodes, cfg.node_embedding_dim),
+            )
+            if cfg.freeze_node_embedding:
+                emb = jax.lax.stop_gradient(emb)
+            h = x[..., None] * emb  # (B, NODES, D)
+        else:
+            h = x[..., None]
+        if cfg.input_emb_drop is not None:
+            h = nn.Dropout(cfg.input_emb_drop, deterministic=not training)(h)
+        h = self.gnn_stack(h, mask_x, ctx, training)
+        xg = self.gather_pca_rows(h, ctx)
+        image, _ = self.learnable_pca_image(xg, ctx)
+        return image, image
+
+
+def get_feature_loss(
+    pca_params: jax.Array,
+    ctx: FoldContext,
+    pca_feature: jax.Array,
+    cfg: Config,
+    sample_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Auxiliary losses (reference multilevel_gnn.py:329-348).
+
+    pca_loss: -coef * log(mean(std_batch(features)))  [std over batch, ddof=1]
+    pca_indep_loss: mean |cos| between learnable-PCA columns per pathway
+    slot.  Reference quirks preserved: params are *detached* (``.data``), so
+    this term carries no gradient, and the inner accumulation only adds the
+    last-j term of each i (indentation bug at :345).
+    """
+    loss = jnp.asarray(0.0, jnp.float32)
+    if cfg.pca_loss:
+        b = pca_feature.shape[0]
+        flat = pca_feature.reshape(b, -1)
+        if sample_mask is not None:
+            nb = jnp.maximum(sample_mask.sum(), 2.0)
+            mean = (flat * sample_mask[:, None]).sum(0) / nb
+            var = ((flat - mean) ** 2 * sample_mask[:, None]).sum(0) / (nb - 1.0)
+            std = jnp.sqrt(var)
+        else:
+            std = jnp.std(flat, axis=0, ddof=1)
+        loss = loss - cfg.pca_loss_coef * jnp.log(jnp.mean(std))
+    if cfg.pca_indep_loss:
+        p = jax.lax.stop_gradient(pca_params * ctx.info_mask)
+        seg = ctx.raw_indice
+        n_slots = 3 * cfg.pathway_num
+        indep = jnp.asarray(0.0, jnp.float32)
+        count = 0
+        for i in range(cfg.pca_dim - 1):
+            mul_res = len_res = None
+            for j in range(i + 1, cfg.pca_dim):
+                count += 1
+                mul_res = seg_ops.segment_sum(
+                    (p[:, i] * p[:, j])[:, None], seg, n_slots, axis=0
+                )[:, 0]
+                len_res = jnp.sqrt(
+                    seg_ops.segment_sum((p[:, i] ** 2)[:, None], seg, n_slots, axis=0)[:, 0]
+                    * seg_ops.segment_sum((p[:, j] ** 2)[:, None], seg, n_slots, axis=0)[:, 0]
+                )
+            indep = indep + jnp.mean(jnp.abs(mul_res / (len_res + 1e-7)))
+        loss = loss + indep / count
+    return loss
+
+
+def seed_pca_params(params, pca_seed: jax.Array):
+    """Replace the learnable PCA leaf with the sklearn-seeded value
+    (reference set_pca_params, multilevel_gnn.py:301-308)."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    for path in list(flat):
+        if path[-1] == "learnable_pca_params":
+            assert flat[path].shape == pca_seed.shape, (
+                flat[path].shape,
+                pca_seed.shape,
+            )
+            flat[path] = jnp.asarray(pca_seed)
+    return flax.traverse_util.unflatten_dict(flat)
