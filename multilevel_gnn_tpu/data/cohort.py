@@ -1,0 +1,574 @@
+"""Multi-omics cohort pipeline (host side).
+
+Re-implements the reference dataloader (dataloader/multiloader.py:32-1066)
+semantics for the TPU framework:
+
+  * gene/pathway universe + node map          (init_graph_grnboost2 :220-274)
+  * PPI / GRNBoost2 edge parsing              (init_graph :178-218)
+  * patient filtering + z-mean centering      (init_data :100-176)
+  * per-(pathway, omics) column table, raw_datas/raw_indice/tf_token
+    (prepare_pca_result :376-530)
+  * sklearn PCA seeding with MI-mask recompute, zero-padding and
+    drop_irr_pathway semantics               (:445-491)
+  * pathway-correlation reordering            (:512-528)
+  * MI mask generation                        (multilevel_gnn.py:353-377)
+  * MI-driven edge re-selection + cross-omics edges (:581-700)
+  * labels (hard + survive-time softmax soft) (:1028-1036), class weights
+    (:321-326)
+
+Key structural difference (TPU-first): instead of materializing one PyG Data
+per patient via a process pool, the cohort produces *one* static topology per
+fold plus dense batched feature arrays (patients x node-slots) — see
+SURVEY.md §7.1.  The per-patient graphs in the reference are identical
+anyway (multiloader.py:687-698).
+
+Node indexing: the reference's ``idx_map`` is the identity over ``node_map``
+order (every node_map gene always receives a 3-value row, multiloader
+predefine_data:949-971), so node slot = 3*node_map[entrez] + omics, with
+``pathway_num`` trailing zero-slot triples appended when pathway_global_node
+is set.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from sklearn.decomposition import PCA
+from sklearn.feature_selection import mutual_info_classif, mutual_info_regression
+
+from multilevel_gnn_tpu.core.batch import FoldContext, make_fold_context
+from multilevel_gnn_tpu.core.config import Config
+from multilevel_gnn_tpu.core.graph import Graph
+
+log = logging.getLogger(__name__)
+
+OMICS = ("mrna", "cnv", "methylation")  # omics index 0/1/2 (reference order)
+
+
+@dataclasses.dataclass
+class PcaRow:
+    """One row of the learnable-PCA table: a (pathway, omics, gene) column."""
+
+    pathway_i: int
+    omics: int
+    entrez: int
+    slot: int  # pathway-omics slot id = sequential (pathway, omics) counter
+
+
+@dataclasses.dataclass
+class FoldData:
+    """Everything the trainer needs for one CV fold."""
+
+    ctx: FoldContext
+    info_mask: np.ndarray  # (G, 1)
+    mutual_info: np.ndarray  # (G,)
+    pca_seed: np.ndarray  # (G, pca_dim)
+    class_weight: np.ndarray  # (2,)
+    pathway_node_attr: Optional[np.ndarray] = None  # (n_patients, P, 3*pca_dim)
+    reorder_idxs: Optional[np.ndarray] = None
+    edge_count: int = 0
+
+
+class Cohort:
+    """In-memory multi-omics cohort with per-fold derivations.
+
+    Parameters
+    ----------
+    omics: dict of DataFrames (patients x entrez-str columns) for
+        'mrna', 'cnv', 'methylation' (raw, before centering).
+    clinical: DataFrame indexed by patient with columns
+        survive_time (months), survive_state (1=event), age.
+    kegg: DataFrame with columns PathwayID, Symbol, Entrezid.
+    pathways: ordered list of pathway ids (the 146-pathway order).
+    edges: dict entrez -> list[(src_entrez, dst_entrez)] raw directed edges.
+    edge_attrs: dict entrez -> list[float] parallel to edges.
+    """
+
+    def __init__(
+        self,
+        omics: Dict[str, pd.DataFrame],
+        clinical: pd.DataFrame,
+        kegg: pd.DataFrame,
+        pathways: Sequence[str],
+        edges: Dict[int, List[Tuple[int, int]]],
+        edge_attrs: Dict[int, List[float]],
+        cfg: Config,
+    ):
+        self.cfg = cfg
+        self.kegg = kegg
+        self.pathways = list(pathways)
+        self.edges = edges
+        self.edge_attrs = edge_attrs
+
+        mrna = omics["mrna"].copy()
+        cnv = omics["cnv"].copy()
+        mt = omics["methylation"].copy()
+        if cfg.zscore_mrna:
+            mrna = (mrna - mrna.mean()) / mrna.std()
+        if cfg.reverse_mt:
+            mt = -mt
+
+        self.survive_time = clinical["survive_time"].to_dict()
+        self.survive_state = clinical["survive_state"].to_dict()
+        self.age = clinical["age"].to_dict()
+
+        # node universe: genes of the ordered pathways present in kegg,
+        # sorted by entrez (reference multiloader.py:239-249)
+        in_path = kegg[kegg["PathwayID"].isin(self.pathways)]
+        universe = sorted(set(int(e) for e in in_path["Entrezid"].unique()))
+        self.node_map = {e: i for i, e in enumerate(universe)}
+        self.node_size = len(universe)
+
+        # patient populations: PCA population = omics/clinical intersection
+        # BEFORE risk filtering (reference :131-132); training population is
+        # risk-filtered (reference :148)
+        pca_patients = [
+            p
+            for p in mt.index
+            if p in cnv.index and p in mrna.index and p in self.survive_time
+        ]
+        self.pca_patients = pca_patients
+        self.patients = [
+            p
+            for p in pca_patients
+            if not np.isnan(self.survive_time[p])
+            and (not cfg.use_age or (p in self.age and not np.isnan(self.age[p])))
+            and (
+                self.survive_time[p] > cfg.risk_threshold
+                or self.survive_state[p] == 1
+            )
+        ]
+
+        self.omics_raw = {"mrna": mrna, "cnv": cnv, "methylation": mt}
+
+        # joined + centered matrix for node features (reference :134-143)
+        joined = pd.concat(
+            {
+                "cnv": cnv.reindex(pca_patients),
+                "mrna": mrna.reindex(pca_patients),
+                "methylation": mt.reindex(pca_patients),
+            },
+            axis=1,
+        )
+        if cfg.z_score:
+            joined = (joined - joined.mean()) / joined.std()
+        elif cfg.z_mean:
+            joined = joined - joined.mean()
+        self.joined = joined
+
+        self._build_pca_table()
+        self._build_node_features()
+        self._mask_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self.initial_reorder_idxs: Optional[np.ndarray] = None
+        if cfg.reorder_pathway:
+            # initial (unmasked) reorder pass (reference :512-528 first call)
+            _, _, reorder = self._pathway_pca(None)
+            self.initial_reorder_idxs = reorder
+
+    # ------------------------------------------------------------------ #
+    # static tables
+    # ------------------------------------------------------------------ #
+    def _pathway_columns(self, pathway: str, omics_name: str) -> List[str]:
+        """Sorted entrez columns of this pathway present & NaN-free in the
+        omics frame (reference np.intersect1d + dropna, :413-420)."""
+        df = self.omics_raw[omics_name]
+        entrez = self.kegg[self.kegg["PathwayID"] == pathway].Entrezid.unique()
+        cols_int = np.intersect1d(
+            entrez.astype(int), df.columns.map(int).to_numpy()
+        )
+        cols = [str(c) for c in cols_int]
+        sub = df[cols].reindex(self.pca_patients)
+        keep = [c for c in cols if not sub[c].isna().any()]
+        return keep
+
+    def _build_pca_table(self):
+        """Fixed (pathway, omics, gene) row table + raw_datas matrix."""
+        cfg = self.cfg
+        rows: List[PcaRow] = []
+        slot = 0
+        used_pathways = []
+        for pi, pathway in enumerate(self.pathways):
+            entrez = self.kegg[self.kegg["PathwayID"] == pathway].Entrezid.unique()
+            if len(entrez) < 5:  # reference :405-407 skips tiny pathways
+                continue
+            used_pathways.append(pathway)
+            ppi = len(used_pathways) - 1
+            for oi, name in enumerate(OMICS):
+                for col in self._pathway_columns(pathway, name):
+                    rows.append(PcaRow(ppi, oi, int(col), slot))
+                slot += 1
+        self.used_pathways = used_pathways
+        self.n_pathways = len(used_pathways)
+        self.rows = rows
+        self.num_pca_rows = len(rows)
+        self.raw_indice = np.array([r.slot for r in rows], np.int32)
+
+        # raw_datas: mean-centered per-column values for the PCA population
+        # (reference :437) and the training-feature matrix for MI
+        mats = []
+        for r in rows:
+            col = self.omics_raw[OMICS[r.omics]][str(r.entrez)].reindex(
+                self.pca_patients
+            )
+            mats.append((col - col.mean()).to_numpy())
+        self.raw_datas = np.stack(mats, axis=1).astype(np.float64)  # (n_pca, G)
+        self.gene_std_value = np.array(
+            [
+                self.omics_raw[OMICS[r.omics]][str(r.entrez)]
+                .reindex(self.pca_patients)
+                .std()
+                for r in rows
+            ],
+            np.float32,
+        )
+        self.tf_token = np.array(
+            [
+                (str(r.omics) in self.cfg.remain_tf_nums)
+                and (r.entrez in self.edges)
+                for r in rows
+            ],
+            bool,
+        )
+
+        # gene -> node-slot map (reference :610-616); idx_map == identity
+        self.gene_pca_match = np.array(
+            [
+                3 * self.node_map[r.entrez] + r.omics
+                if r.entrez in self.node_map
+                else -1
+                for r in rows
+            ],
+            np.int32,
+        )
+
+    def _build_node_features(self):
+        """Dense per-patient node features (reference predefine_data
+        :949-971 + pathway zero rows :1024-1025)."""
+        cfg = self.cfg
+        P = self.n_pathways if cfg.pathway_global_node else 0
+        self.node_num = self.node_size + P
+        nodes = 3 * self.node_num
+        n = len(self.patients)
+        X = np.zeros((n, self.node_size, 3), np.float32)
+        universe = list(self.node_map)
+        for oi, name in enumerate(OMICS):
+            sub = self.joined[name].reindex(self.patients)
+            cols = [str(e) for e in universe]
+            present = [c for c in cols if c in sub.columns]
+            vals = sub[present].to_numpy(np.float32)
+            idxs = [self.node_map[int(c)] for c in present]
+            vals = np.nan_to_num(vals, nan=0.0)
+            X[:, idxs, oi] = vals
+        if P:
+            X = np.concatenate([X, np.zeros((n, P, 3), np.float32)], axis=1)
+        self.X = X.reshape(n, nodes)
+        self.num_nodes = nodes
+
+        self.Y = np.stack([self._label(p) for p in self.patients]).astype(
+            np.float32
+        )
+        self.ages = np.array(
+            [self.age.get(p, np.nan) for p in self.patients], np.float32
+        )
+        self.ages = np.nan_to_num(self.ages, nan=0.0)
+
+    def _label(self, patient) -> np.ndarray:
+        cfg = self.cfg
+        if cfg.soft_label:
+            if self.survive_state[patient] == 0:
+                return np.array([0.0, 1.0])
+            os_m = self.survive_time[patient]
+            z = np.array(
+                [1 - os_m / cfg.risk_threshold, os_m / cfg.risk_threshold - 1]
+            )
+            e = np.exp(z - z.max())
+            return e / e.sum()
+        y = np.zeros(2)
+        y[int(self.survive_time[patient] > cfg.risk_threshold)] = 1.0
+        return y
+
+    def labels(self) -> np.ndarray:
+        """Binary class per patient = y[1] > 0.5 (reference :331-337)."""
+        return (self.Y[:, 1] > 0.5).astype(np.int64)
+
+    # ------------------------------------------------------------------ #
+    # per-fold derivations
+    # ------------------------------------------------------------------ #
+    def mutual_mask(
+        self, train_idx: np.ndarray, fold: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """MI feature mask over PCA rows (reference multilevel_gnn.py:353-377,
+        cached per fold)."""
+        cfg = self.cfg
+        if fold in self._mask_cache:
+            return self._mask_cache[fold]
+        pos = [self.pca_patients.index(self.patients[i]) for i in train_idx]
+        x = self.raw_datas[pos]
+        y = self.labels()[train_idx]
+        rs = cfg.random_state if cfg.freeze_mutual_select_init else None
+        fn = mutual_info_classif if cfg.mutual_classif else mutual_info_regression
+        mi = fn(x, y, n_neighbors=cfg.mutual_neighbors, random_state=rs)
+        thr = (
+            cfg.node_select_threshold * np.mean(mi)
+            if cfg.mutual_info_threshold is None
+            else cfg.mutual_info_threshold
+        )
+        mask = (mi >= thr).astype(np.float32)[:, None]
+        if cfg.remain_all_tf:
+            mask = np.maximum(mask, self.tf_token.astype(np.float32)[:, None])
+        self._mask_cache[fold] = (mask, mi)
+        return mask, mi
+
+    def _pathway_pca(self, info_mask: Optional[np.ndarray]):
+        """Per-(pathway, omics) sklearn PCA (reference prepare_pca_result).
+
+        Returns (pca_seed (G, pca_dim), pathway_node_attr
+        (n_patients, P, 3*pca_dim), reorder_idxs or None)."""
+        cfg = self.cfg
+        G = self.num_pca_rows
+        seed = np.zeros((G, cfg.pca_dim), np.float32)
+        attr = np.zeros(
+            (len(self.pca_patients), self.n_pathways, 3 * cfg.pca_dim), np.float64
+        )
+        pathway_matrix = []
+        rows = self.rows
+        # rows are stored (pathway, omics)-contiguous; group once
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        for i, r in enumerate(rows):
+            groups.setdefault((r.pathway_i, r.omics), []).append(i)
+        for ppi in range(self.n_pathways):
+            for oi in range(3):
+                idxs = groups.get((ppi, oi), [])
+                if not idxs:
+                    pathway_matrix.append(
+                        np.zeros((len(self.pca_patients), cfg.pca_sim_dim))
+                    )
+                    continue
+                cols = [str(rows[i].entrez) for i in idxs]
+                data = (
+                    self.omics_raw[OMICS[oi]][cols]
+                    .reindex(self.pca_patients)
+                    .to_numpy(np.float64)
+                )
+                if info_mask is not None:
+                    sel = [k for k, i in enumerate(idxs) if info_mask[i, 0] > 0]
+                else:
+                    sel = list(range(len(idxs)))
+                n_sel = len(sel)
+                if info_mask is None or n_sel < cfg.pca_sim_dim:
+                    # PCA on ALL columns, components masked to selected cols
+                    # (reference :459-483)
+                    dim = min(max(n_sel, 1), cfg.pca_sim_dim, data.shape[1])
+                    if info_mask is None:
+                        dim = min(cfg.pca_sim_dim, data.shape[1], len(self.pca_patients))
+                    pca = PCA(n_components=dim, svd_solver="full").fit(data)
+                    pdat = pca.transform(data)
+                    pad = cfg.pca_sim_dim - (n_sel if info_mask is not None else 0)
+                    if pdat.shape[1] < cfg.pca_sim_dim:
+                        pdat = np.concatenate(
+                            [
+                                pdat,
+                                np.zeros(
+                                    (len(pdat), cfg.pca_sim_dim - pdat.shape[1])
+                                ),
+                            ],
+                            axis=1,
+                        )
+                    if info_mask is not None and n_sel > 0:
+                        if cfg.drop_irr_pathway:
+                            comp = np.zeros((pca.components_.shape[0], n_sel))
+                        else:
+                            comp = pca.components_[:, sel]
+                        if comp.shape[0] < cfg.pca_dim:
+                            comp = np.concatenate(
+                                [
+                                    comp,
+                                    np.zeros(
+                                        (cfg.pca_dim - comp.shape[0], n_sel)
+                                    ),
+                                ]
+                            )
+                        comp = comp[: cfg.pca_dim, :]
+                        for c, k in zip(sel, range(n_sel)):
+                            seed[idxs[c], : comp.shape[0]] = comp[:, k]
+                else:
+                    pca = PCA(n_components=cfg.pca_sim_dim, svd_solver="full").fit(
+                        data[:, sel]
+                    )
+                    pdat_sel = pca.transform(data[:, sel])
+                    pdat = pdat_sel
+                    comp = pca.components_[: cfg.pca_dim, :]
+                    if cfg.mean_pca_init:
+                        comp = comp / np.mean(np.abs(comp)) * cfg.pca_mean_value
+                    for k, c in enumerate(sel):
+                        seed[idxs[c], : comp.shape[0]] = comp[:, k]
+                pathway_matrix.append(pdat[:, : cfg.pca_sim_dim])
+                attr[:, ppi, oi * cfg.pca_dim : (oi + 1) * cfg.pca_dim] = pdat[
+                    :, : cfg.pca_dim
+                ]
+
+        reorder = None
+        if cfg.reorder_pathway and (cfg.selected_similarity or info_mask is None):
+            reorder = self._reorder_from_matrix(pathway_matrix)
+        return seed, attr, reorder
+
+    def _reorder_from_matrix(self, pathway_matrix: List[np.ndarray]) -> np.ndarray:
+        """Greedy correlation-chain pathway ordering (reference :512-528)."""
+        P = self.n_pathways
+        mats = []
+        for ppi in range(P):
+            mats.append(
+                np.concatenate(
+                    [pathway_matrix[3 * ppi + oi].reshape(-1) for oi in range(3)]
+                )
+            )
+        cat = np.stack(mats)  # (P, n*3*psd)
+        corr = np.corrcoef(cat) - np.eye(P)
+        corr = np.nan_to_num(corr, nan=-1.0)
+        mx = corr.argmax()
+        order = [mx // P, mx % P]
+        remain = set(range(P)) - set(order)
+        sort_m = np.argsort(corr)
+        while len(order) < P:
+            src = order[-1]
+            for t in sort_m[src][::-1]:
+                if t in remain:
+                    order.append(int(t))
+                    remain.remove(int(t))
+                    break
+        return np.array(order, np.int32)
+
+    def _edge_mi_valid(self, src, dst, oi, train_patients, y) -> bool:
+        """Per-edge PCA+MI validity test (reference valid_pca_mutual_info
+        :828-874).  Only active with cfg.edge_select."""
+        cfg = self.cfg
+        if not cfg.edge_select:
+            return True
+        df = self.omics_raw[OMICS[oi]]
+        cols = [str(src), str(dst)]
+        if any(c not in df.columns for c in cols):
+            return False
+        ed = df[cols].reindex(train_patients).to_numpy()
+        rs = cfg.random_state if cfg.freeze_mutual_select_init else None
+        pca = PCA(n_components=1).fit(ed)
+        pd1 = pca.transform(ed)
+        fn = mutual_info_classif if cfg.mutual_classif else mutual_info_regression
+        pmi = fn(pd1, y, random_state=rs)
+        smi = fn(ed[:, :1], y, random_state=rs)
+        dmi = fn(ed[:, 1:], y, random_state=rs)
+        return pmi > cfg.edge_select_threshold * max(smi, dmi)
+
+    def build_edges(
+        self, info_mask: np.ndarray, train_idx: Optional[np.ndarray] = None
+    ) -> Tuple[np.ndarray, np.ndarray, int]:
+        """MI-selected intra-omics + cross-omics edges in node-slot space
+        (reference recalculate_edge_bo_selected_gene :581-700)."""
+        cfg = self.cfg
+        selected = [set(), set(), set()]
+        for i, r in enumerate(self.rows):
+            if info_mask[i, 0] > 0:
+                selected[r.omics].add(r.entrez)
+        train_patients = (
+            [self.patients[i] for i in train_idx] if train_idx is not None else []
+        )
+        y = (
+            self.labels()[train_idx].tolist() if train_idx is not None else []
+        )
+
+        edges, attrs = [], []
+        nm = self.node_map
+        for oi, sel in enumerate(selected):
+            if str(oi) in cfg.mute_edge:
+                continue
+            for e in sel:
+                if e not in self.edges or e not in nm:
+                    continue
+                for (s, d), a in zip(self.edges[e], self.edge_attrs[e]):
+                    if d in sel and d in nm:
+                        if not self._edge_mi_valid(s, d, oi, train_patients, y):
+                            continue
+                        edges.append([3 * nm[s] + oi, 3 * nm[d] + oi])
+                        attrs.append([a])
+                        if cfg.bidir_edge:
+                            edges.append([3 * nm[d] + oi, 3 * nm[s] + oi])
+                            attrs.append([a])
+        intra = len(edges)
+
+        for e in selected[0]:
+            if e not in nm:
+                continue
+            if cfg.construct_cnv_mrna_edge and e in selected[1]:
+                edges.append([3 * nm[e] + 1, 3 * nm[e] + 0])
+                attrs.append([1.0])
+            if cfg.construct_mt_mrna_edge and e in selected[2]:
+                edges.append([3 * nm[e] + 2, 3 * nm[e] + 0])
+                attrs.append([-1.0 if cfg.reverse_mt_attr else 1.0])
+            if cfg.construct_mrna_cnv_edge and e in selected[1]:
+                edges.append([3 * nm[e] + 0, 3 * nm[e] + 1])
+                attrs.append([1.0])
+            if cfg.construct_mrna_mt_edge and e in selected[2]:
+                edges.append([3 * nm[e] + 0, 3 * nm[e] + 2])
+                attrs.append([-1.0 if cfg.reverse_mt_attr else 1.0])
+
+        log.info(
+            "edges: intra-omics %d, cross-omics %d", intra, len(edges) - intra
+        )
+        if not edges:
+            return np.zeros((2, 0), np.int32), np.zeros((0, 1), np.float32), 0
+        return (
+            np.array(edges, np.int32).T,
+            np.array(attrs, np.float32),
+            intra,
+        )
+
+    def class_weight(self, train_idx: np.ndarray) -> np.ndarray:
+        """(max_count/count)^weight_power per class (reference :321-326)."""
+        y = self.labels()[train_idx]
+        counts = np.array([(y == 0).sum(), (y == 1).sum()], np.float64)
+        counts = np.maximum(counts, 1)
+        return (counts.max() / counts) ** self.cfg.weight_power
+
+    def fold(
+        self, train_idx: np.ndarray, fold_i: int, pad_edges_to: Optional[int] = None
+    ) -> FoldData:
+        """Full per-fold derivation pipeline (mirrors train.py:290-307)."""
+        cfg = self.cfg
+        mask, mi = self.mutual_mask(train_idx, fold_i)
+        seed, attr, reorder = self._pathway_pca(mask)
+        if reorder is None:
+            reorder = (
+                self.initial_reorder_idxs
+                if self.initial_reorder_idxs is not None
+                else np.arange(self.n_pathways, dtype=np.int32)
+            )
+        edge_index, edge_attr, _ = self.build_edges(mask, train_idx)
+        graph = Graph.from_edges(
+            edge_index, edge_attr, self.num_nodes, pad_to=pad_edges_to
+        )
+        # SAGE/GAT-family convs expect self-loops appended once per fold
+        if cfg.gnn_name.lower() in ("sage", "rsage", "gat"):
+            graph = graph.with_self_loops()
+        ctx = make_fold_context(
+            graph,
+            self.gene_pca_match,
+            self.raw_indice,
+            mask,
+            reorder,
+            pca_seed=seed,
+            n_pathways=self.n_pathways,
+        )
+        return FoldData(
+            ctx=ctx,
+            info_mask=mask,
+            mutual_info=mi,
+            pca_seed=seed,
+            class_weight=self.class_weight(train_idx),
+            pathway_node_attr=attr[
+                [self.pca_patients.index(p) for p in self.patients]
+            ],
+            reorder_idxs=reorder,
+            edge_count=graph.n_edges,
+        )

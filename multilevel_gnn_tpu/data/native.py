@@ -1,0 +1,46 @@
+"""ctypes bridge to the C++ data-pipeline fast paths (csrc/).
+
+Falls back silently when the shared library has not been built; pure-Python
+paths remain the correctness oracles.  Build: ``make -C csrc``.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Tuple
+
+_LIB = None
+
+
+def _lib():
+    global _LIB
+    if _LIB is None:
+        path = os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "libmgtpu.so")
+        _LIB = ctypes.CDLL(os.path.abspath(path))
+        _LIB.parse_edge_tsv.restype = ctypes.c_void_p
+        _LIB.parse_edge_tsv.argtypes = [ctypes.c_char_p]
+        _LIB.edge_count.restype = ctypes.c_long
+        _LIB.edge_count.argtypes = [ctypes.c_void_p]
+        _LIB.edge_src.restype = ctypes.c_char_p
+        _LIB.edge_src.argtypes = [ctypes.c_void_p, ctypes.c_long]
+        _LIB.edge_dst.restype = ctypes.c_char_p
+        _LIB.edge_dst.argtypes = [ctypes.c_void_p, ctypes.c_long]
+        _LIB.edge_val.restype = ctypes.c_double
+        _LIB.edge_val.argtypes = [ctypes.c_void_p, ctypes.c_long]
+        _LIB.free_edges.argtypes = [ctypes.c_void_p]
+    return _LIB
+
+
+def parse_edge_tsv(path: str) -> Tuple[List[str], List[str], List[float]]:
+    lib = _lib()
+    h = lib.parse_edge_tsv(path.encode())
+    if not h:
+        raise RuntimeError(f"parse failed: {path}")
+    try:
+        n = lib.edge_count(h)
+        srcs = [lib.edge_src(h, i).decode() for i in range(n)]
+        dsts = [lib.edge_dst(h, i).decode() for i in range(n)]
+        vals = [lib.edge_val(h, i) for i in range(n)]
+    finally:
+        lib.free_edges(h)
+    return srcs, dsts, vals

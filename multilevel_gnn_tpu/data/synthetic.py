@@ -1,0 +1,104 @@
+"""Synthetic multi-omics cohort fixtures.
+
+The reference's TCGA data lives on an external drive (reference README.md:1-2)
+and is not in-repo, so tests and demos run on synthetic cohorts with the same
+structure: P pathways x ~genes-per-pathway genes, 3 omics matrices with a
+survival-correlated signal, clinical frame, and a GRNBoost2-style edge list.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pandas as pd
+
+from multilevel_gnn_tpu.core.config import Config
+from multilevel_gnn_tpu.data.cohort import Cohort
+
+
+def make_synthetic_tables(
+    n_patients: int = 60,
+    n_pathways: int = 8,
+    genes_per_pathway: int = 12,
+    overlap: int = 3,
+    n_edges: int = 300,
+    seed: int = 0,
+):
+    """Build (omics dict, clinical df, kegg df, pathways, edges, edge_attrs)."""
+    rng = np.random.RandomState(seed)
+    n_genes = n_pathways * (genes_per_pathway - overlap) + overlap
+    entrez = np.arange(1001, 1001 + n_genes)
+    pathways = [f"hsa{100 + i}" for i in range(n_pathways)]
+
+    kegg_rows = []
+    for pi, p in enumerate(pathways):
+        start = pi * (genes_per_pathway - overlap)
+        genes = entrez[start : start + genes_per_pathway]
+        for g in genes:
+            kegg_rows.append(
+                {"PathwayID": p, "Symbol": f"G{g}", "Entrezid": int(g)}
+            )
+    kegg = pd.DataFrame(kegg_rows)
+
+    patients = [f"TCGA-{i:04d}" for i in range(n_patients)]
+    # latent risk drives both survival and a subset of genes
+    risk = rng.randn(n_patients)
+    surv = np.clip(30 + -10 * risk + rng.randn(n_patients) * 6, 1, 120)
+    state = (rng.rand(n_patients) < 0.6).astype(int)
+    age = rng.uniform(30, 85, n_patients).round(1)
+    clinical = pd.DataFrame(
+        {"survive_time": surv, "survive_state": state, "age": age},
+        index=patients,
+    )
+
+    omics: Dict[str, pd.DataFrame] = {}
+    informative = rng.rand(n_genes) < 0.4
+    for name, scale in [("mrna", 1.0), ("cnv", 0.5), ("methylation", 0.8)]:
+        base = rng.randn(n_patients, n_genes) * scale
+        base[:, informative] += np.outer(risk, rng.randn(informative.sum())) * 0.8
+        df = pd.DataFrame(
+            base, index=patients, columns=[str(g) for g in entrez]
+        )
+        omics[name] = df
+
+    edges: Dict[int, List[Tuple[int, int]]] = {}
+    edge_attrs: Dict[int, List[float]] = {}
+    for _ in range(n_edges):
+        s, d = rng.choice(entrez, 2, replace=False)
+        edges.setdefault(int(s), []).append((int(s), int(d)))
+        edge_attrs.setdefault(int(s), []).append(float(rng.rand() * 0.5 + 0.01))
+    return omics, clinical, kegg, pathways, edges, edge_attrs
+
+
+def make_synthetic_cohort(cfg: Config, seed: int = 0, **kw) -> Cohort:
+    omics, clinical, kegg, pathways, edges, edge_attrs = make_synthetic_tables(
+        seed=seed, **kw
+    )
+    cfg = cfg.replace(pathway_num=len(pathways))
+    return Cohort(omics, clinical, kegg, pathways, edges, edge_attrs, cfg)
+
+
+def write_reference_format(path: str, seed: int = 0, **kw) -> None:
+    """Write the synthetic cohort to disk in the reference CSV/TSV layout
+    (reference opt.py:19-57 path flags) for loader round-trip tests."""
+    import os
+
+    omics, clinical, kegg, pathways, edges, edge_attrs = make_synthetic_tables(
+        seed=seed, **kw
+    )
+    os.makedirs(path, exist_ok=True)
+    omics["mrna"].to_csv(f"{path}/raw_mrna.csv")
+    omics["cnv"].to_csv(f"{path}/raw_cnv.csv")
+    omics["methylation"].to_csv(f"{path}/raw_methylation.csv")
+    clinical.to_pickle(f"{path}/clinical.pkl")
+    kegg.to_csv(f"{path}/kegg.csv", index=False)
+    with open(f"{path}/pathways.txt", "w") as f:
+        f.write("\n".join(pathways))
+    rows = []
+    id2sym = {int(r.Entrezid): r.Symbol for r in kegg.itertuples()}
+    for s, lst in edges.items():
+        for (a, b), w in zip(lst, edge_attrs[s]):
+            rows.append((id2sym[a], id2sym[b], w))
+    pd.DataFrame(rows, columns=["TF", "target", "importance"]).to_csv(
+        f"{path}/grn_edges.tsv", sep="\t", index=False
+    )

@@ -1,0 +1,90 @@
+"""Experiment CLI: ``python -m multilevel_gnn_tpu.train.cli --config
+configs/gbm.yaml [--synthetic] [--data-dir DIR]``.
+
+Replaces the reference entrypoint ``python train.py --config config/gbm.yaml``
+(reference train.py:215-382).  With --synthetic, runs on a generated cohort
+(the reference's TCGA drive data is external); with --data-dir, loads
+reference-format CSVs.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--debug", action="store_true", help="tiny fast settings")
+    ap.add_argument("--out", default=None, help="results json path")
+    ap.add_argument("--set", nargs="*", default=[], help="key=value overrides")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+    from multilevel_gnn_tpu.core.config import Config
+    from multilevel_gnn_tpu.train.driver import run_experiment
+
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        try:
+            v = json.loads(v)
+        except json.JSONDecodeError:
+            pass
+        overrides[k] = v
+    cfg = Config.from_yaml(args.config, **overrides)
+    if args.debug:
+        cfg = cfg.replace(num_run=1, epochs=5, batch_size=8)
+
+    if args.synthetic:
+        from multilevel_gnn_tpu.data.synthetic import make_synthetic_cohort
+
+        cohort = make_synthetic_cohort(
+            cfg,
+            seed=cfg.seed,
+            n_patients=60 if args.debug else 200,
+            n_pathways=6 if args.debug else 20,
+        )
+    else:
+        from multilevel_gnn_tpu.data.loaders import load_cohort_from_files
+
+        d = args.data_dir or cfg.data_dir
+        ct = cfg.cancer_type
+        cohort = load_cohort_from_files(
+            f"{d}/{ct}/raw_mrna.csv",
+            f"{d}/{ct}/raw_cnv.csv",
+            f"{d}/{ct}/raw_methylation.csv",
+            f"{d}/{ct}/clinical.pkl",
+            f"{d}/kegg.csv",
+            f"{d}/pathways.txt",
+            f"{d}/{ct}/grn_edges.tsv",
+            cfg,
+        )
+
+    results = run_experiment(cfg, cohort)
+    final_e = results["check_epochs"][-1]
+    print(
+        json.dumps(
+            {
+                "cancer_type": cfg.cancer_type,
+                "model": cfg.model,
+                "pooled_auc": results["auc"][final_e],
+                "pooled_auc_by_loss": results["auc_by_loss"][final_e],
+                "pooled_acc": results["acc"][final_e],
+                "wall_time_s": results["wall_time_s"],
+            }
+        )
+    )
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,284 @@
+"""Experiment driver: runs x 5-fold stratified CV with check-epoch pooled
+scoring (reference train.py:111-382).
+
+Protocol reproduced:
+  * outer StratifiedKFold(5) for tune/test, inner StratifiedKFold(5) first
+    split for train/valid (train.py:258-280)
+  * per fold: MI mask -> PCA recompute -> seeded PCA params -> edge
+    re-selection (train.py:290-301) — all via Cohort.fold()
+  * per epoch: train, then eval on train/valid/test; best-by-valid-AUC and
+    best-by-valid-loss test snapshots; snapshots recorded at check-epochs
+    (every 5) (train.py:144-206)
+  * cross-fold pooled AUC/ACC per check-epoch, aggregated over runs
+    (train.py:338-376)
+
+TPU-first deltas: one jitted step per fold with static shapes (edge counts
+padded to buckets so folds share compilations), batched fixed-topology
+graphs, optional device mesh sharding (parallel/).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import math
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multilevel_gnn_tpu.core.batch import Batch
+from multilevel_gnn_tpu.core.config import Config
+from multilevel_gnn_tpu.data.cohort import Cohort
+from multilevel_gnn_tpu.models import get_model
+from multilevel_gnn_tpu.models.multilevel_gnn import seed_pca_params
+from multilevel_gnn_tpu.train import metrics as M
+from multilevel_gnn_tpu.train.step import build_train_fns
+
+log = logging.getLogger(__name__)
+
+
+def stratified_kfold(labels: np.ndarray, n_splits: int, shuffle: bool, seed):
+    """StratifiedKFold split indices (sklearn-compatible protocol)."""
+    from sklearn.model_selection import StratifiedKFold
+
+    skf = StratifiedKFold(
+        n_splits=n_splits,
+        shuffle=shuffle,
+        random_state=seed if shuffle else None,
+    )
+    idx = np.arange(len(labels))
+    return list(skf.split(idx, labels))
+
+
+def iter_batches(
+    X, Y, ages, idxs, batch_size, rng: np.random.RandomState,
+    shuffle: bool, drop_last: bool,
+    sampler_weights: Optional[np.ndarray] = None,
+):
+    """Batch iterator mirroring the reference DataLoader setups
+    (train.py:309-327). Yields fully-padded Batch pytrees."""
+    idxs = np.asarray(idxs)
+    if sampler_weights is not None:
+        # WeightedRandomSampler(weights, num_samples, replacement=True)
+        num_samples = batch_size * math.ceil(len(idxs) / batch_size)
+        p = sampler_weights / sampler_weights.sum()
+        order = rng.choice(len(idxs), size=num_samples, replace=True, p=p)
+        sel = idxs[order]
+    elif shuffle:
+        sel = idxs[rng.permutation(len(idxs))]
+    else:
+        sel = idxs
+    n = len(sel)
+    stop = (n // batch_size) * batch_size if drop_last else n
+    for s in range(0, stop, batch_size):
+        chunk = sel[s : s + batch_size]
+        b = len(chunk)
+        pad = batch_size - b
+        take = np.concatenate([chunk, np.repeat(chunk[-1:], pad)]) if pad else chunk
+        yield Batch(
+            x=jnp.asarray(X[take]),
+            y=jnp.asarray(Y[take]),
+            age=jnp.asarray(ages[take]),
+            sample_mask=jnp.asarray(
+                np.concatenate([np.ones(b, bool), np.zeros(pad, bool)])
+            ),
+        )
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class FoldResult:
+    y_true: np.ndarray
+    epoch_pred: Dict[int, np.ndarray]
+    epoch_pred_by_loss: Dict[int, np.ndarray]
+    epoch_pred_by_epoch: Dict[int, np.ndarray]
+
+
+def evaluate(fns, params, ctx, X, Y, ages, idxs, batch_size):
+    preds, losses = [], []
+    rng = np.random.RandomState(0)
+    for batch in iter_batches(
+        X, Y, ages, idxs, batch_size, rng, shuffle=False, drop_last=False
+    ):
+        pred, loss = fns.eval_step(params, batch, ctx)
+        m = np.asarray(batch.sample_mask)
+        preds.append(np.asarray(pred)[m])
+        losses.append(float(loss))
+    pred = np.concatenate(preds)
+    auc, acc, y_true, score0 = M.eval_scores(Y[idxs], pred)
+    return auc, acc, y_true, score0, float(np.mean(losses))
+
+
+def run_fold(
+    cfg: Config,
+    cohort: Cohort,
+    train_idx,
+    valid_idx,
+    test_idx,
+    fold_i: int,
+    run_i: int,
+    check_epochs: List[int],
+) -> FoldResult:
+    fold = cohort.fold(
+        np.asarray(train_idx),
+        fold_i,
+        pad_edges_to=None,
+    )
+    # pad edges to a bucket so folds share jit compilations
+    g = fold.ctx.graph
+    bucket = max(_round_up(g.num_padded_edges, 2048), 2048)
+    if g.num_padded_edges != bucket:
+        fold = dataclasses.replace(
+            fold, ctx=dataclasses.replace(fold.ctx, graph=g.pad_edges_to(bucket))
+        )
+    ctx = fold.ctx
+
+    model_cfg = cfg.replace(
+        pathway_num=cohort.n_pathways, node_num=cohort.num_nodes // 3
+    )
+    model = get_model(cfg.model)(model_cfg)
+    fns = build_train_fns(model, model_cfg)
+
+    X, Y, ages = cohort.X, cohort.Y, cohort.ages
+    steps_per_epoch = max(len(train_idx) // cfg.batch_size, 1)
+    rng_key = jax.random.PRNGKey(cfg.seed * 10_000 + run_i * 100 + fold_i)
+    init_batch = next(
+        iter_batches(
+            X, Y, ages, train_idx, cfg.batch_size, np.random.RandomState(0),
+            False, False,
+        )
+    )
+    params, opt_state = fns.init_state(rng_key, init_batch, ctx, steps_per_epoch)
+    if cfg.init_with_pca and fold.pca_seed is not None:
+        params = seed_pca_params(params, jnp.asarray(fold.pca_seed))
+
+    class_weight = jnp.asarray(fold.class_weight, jnp.float32)
+    sampler_weights = None
+    if cfg.class_sample:
+        labels = cohort.labels()[np.asarray(train_idx)]
+        sampler_weights = fold.class_weight[labels]
+
+    np_rng = np.random.RandomState(cfg.seed + 1000 * run_i + fold_i)
+    results = {
+        "highest_valid": -1.0,
+        "highest_valid_loss": 100.0,
+        "result_y": None,
+        "result_y_by_loss": None,
+        "epoch": {},
+        "epoch_by_loss": {},
+        "epoch_by_epoch": {},
+    }
+    y_true_test = None
+    shuffle = not cfg.class_sample
+    drop_last = not (
+        cfg.class_sample or cfg.weighted_loss or cfg.batch_weighted_loss
+    )
+    step_i = 0
+    for epoch in range(1, cfg.epochs + 1):
+        for batch in iter_batches(
+            X, Y, ages, train_idx, cfg.batch_size, np_rng, shuffle, drop_last,
+            sampler_weights,
+        ):
+            step_rng = jax.random.fold_in(rng_key, step_i)
+            params, opt_state, loss = fns.train_step(
+                params, opt_state, batch, ctx, class_weight, step_rng
+            )
+            step_i += 1
+
+        valid_auc, valid_acc, _, _, valid_loss = evaluate(
+            fns, params, ctx, X, Y, ages, valid_idx, cfg.batch_size
+        )
+        test_auc, test_acc, y_true_test, test_score, test_loss = evaluate(
+            fns, params, ctx, X, Y, ages, test_idx, cfg.batch_size
+        )
+        valid_eval = valid_auc if cfg.metrics == "auc" else valid_acc
+        if valid_loss < results["highest_valid_loss"]:
+            results["highest_valid_loss"] = valid_loss
+            results["result_y_by_loss"] = test_score
+        if valid_eval > results["highest_valid"]:
+            results["highest_valid"] = valid_eval
+            results["result_y"] = test_score
+        if epoch in check_epochs:
+            # fallback to the current epoch's predictions if no valid-set
+            # improvement was ever recorded (e.g. degenerate tiny valid set)
+            results["epoch"][epoch] = (
+                results["result_y"] if results["result_y"] is not None else test_score
+            )
+            results["epoch_by_loss"][epoch] = (
+                results["result_y_by_loss"]
+                if results["result_y_by_loss"] is not None
+                else test_score
+            )
+            results["epoch_by_epoch"][epoch] = test_score
+        log.info(
+            "run %d fold %d epoch %d: valid auc %.4f test auc %.4f loss %.4f",
+            run_i, fold_i, epoch, valid_auc, test_auc, valid_loss,
+        )
+
+    return FoldResult(
+        y_true=y_true_test,
+        epoch_pred={e: results["epoch"][e] for e in check_epochs},
+        epoch_pred_by_loss={e: results["epoch_by_loss"][e] for e in check_epochs},
+        epoch_pred_by_epoch={e: results["epoch_by_epoch"][e] for e in check_epochs},
+    )
+
+
+def run_experiment(cfg: Config, cohort: Cohort) -> Dict:
+    """Full num_run x 5-fold protocol with pooled check-epoch scoring."""
+    labels = cohort.labels()
+    check_epochs = list(range(5, cfg.epochs + 1, 5)) or [cfg.epochs]
+    agg = {
+        k: {e: [] for e in check_epochs}
+        for k in ("auc", "auc_by_loss", "auc_by_epoch", "acc", "acc_by_loss",
+                  "acc_by_epoch")
+    }
+    t0 = time.time()
+    for run_i in range(cfg.num_run):
+        outer = stratified_kfold(
+            labels, 5, cfg.split_shaffle, cfg.split_seed
+        )
+        fold_results: List[FoldResult] = []
+        for fold_i, (tune, test_idx) in enumerate(outer):
+            inner_labels = labels[tune]
+            inner = stratified_kfold(
+                inner_labels, 5, cfg.split_shaffle, cfg.split_seed
+            )
+            tr, va = inner[0]
+            train_idx, valid_idx = tune[tr], tune[va]
+            fr = run_fold(
+                cfg, cohort, train_idx, valid_idx, test_idx, fold_i, run_i,
+                check_epochs,
+            )
+            fold_results.append(fr)
+        y = np.concatenate([fr.y_true for fr in fold_results])
+        for e in check_epochs:
+            for key, attr in (
+                ("auc", "epoch_pred"),
+                ("auc_by_loss", "epoch_pred_by_loss"),
+                ("auc_by_epoch", "epoch_pred_by_epoch"),
+            ):
+                pred = np.concatenate(
+                    [getattr(fr, attr)[e] for fr in fold_results]
+                )
+                agg[key][e].append(M.roc_auc(y, pred))
+                agg[key.replace("auc", "acc")][e].append(
+                    M.accuracy(y, pred > 0.5)
+                )
+        log.info(
+            "run %d: pooled AUC@%d %.4f", run_i, check_epochs[-1],
+            agg["auc"][check_epochs[-1]][-1],
+        )
+    out = {
+        "check_epochs": check_epochs,
+        "wall_time_s": time.time() - t0,
+    }
+    for k, d in agg.items():
+        out[k] = {e: float(np.mean(v)) for e, v in d.items()}
+        out[k + "_std"] = {e: float(np.std(v)) for e, v in d.items()}
+        out[k + "_all"] = {e: list(map(float, v)) for e, v in d.items()}
+    return out

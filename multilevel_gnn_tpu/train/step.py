@@ -1,0 +1,131 @@
+"""Jitted train/eval steps.
+
+Loss formulation mirrors the reference exactly (train.py:38-68,111-125):
+softmax head + BCELoss on 2-column one-hot/soft targets, with optional
+per-class weights (weight_balance), per-sample weights (weighted_loss), the
+feature losses added on top, optional global-norm grad clip (max_norm 20),
+Adam (betas, wd) + StepLR(step, gamma).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from multilevel_gnn_tpu.core.batch import Batch, FoldContext
+from multilevel_gnn_tpu.core.config import Config
+from multilevel_gnn_tpu.models.multilevel_gnn import get_feature_loss
+
+
+def bce_elementwise(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """torch.nn.BCELoss elementwise term with the -100 log clamp."""
+    logp = jnp.clip(jnp.log(pred), -100.0, None)
+    log1mp = jnp.clip(jnp.log(1.0 - pred), -100.0, None)
+    return -(target * logp + (1.0 - target) * log1mp)
+
+
+def classification_loss(
+    pred: jax.Array,
+    y: jax.Array,
+    class_weight: Optional[jax.Array],
+    sample_mask: jax.Array,
+    cfg: Config,
+) -> jax.Array:
+    """Reference train.py:53-60 weighting variants.
+
+    weight_balance: BCELoss(weight=w) — w indexed by output column.
+    weighted_loss: per-sample weight by the sample's true class.
+    """
+    el = bce_elementwise(pred, y)  # (B, 2)
+    m = sample_mask.astype(pred.dtype)[:, None]
+    denom = jnp.maximum(m.sum() * el.shape[1], 1.0)
+    if cfg.weighted_loss or cfg.batch_weighted_loss:
+        cls = (y[:, 1] == 1).astype(jnp.int32)
+        w = class_weight[cls][:, None]
+        if cfg.batch_weighted_loss:
+            w = jnp.mean(w) * jnp.ones_like(w)
+        return (w * el * m).sum() / denom
+    if cfg.weight_balance and class_weight is not None:
+        w = class_weight[None, :]  # per-column weight, BCELoss(weight=...)
+        return (w * el * m).sum() / denom
+    return (el * m).sum() / denom
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+    if cfg.step > 0:
+        lr = optax.exponential_decay(
+            cfg.lr,
+            transition_steps=cfg.step * steps_per_epoch,
+            decay_rate=cfg.gamma,
+            staircase=True,
+        )
+    else:
+        lr = cfg.lr
+    chain = []
+    if cfg.clip_grad:
+        chain.append(optax.clip_by_global_norm(20.0))
+    chain.append(
+        optax.adamw(lr, b1=cfg.beta1, b2=cfg.beta2, weight_decay=cfg.wd)
+        if cfg.wd > 0
+        else optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2)
+    )
+    return optax.chain(*chain)
+
+
+@dataclasses.dataclass
+class TrainFns:
+    train_step: Callable
+    eval_step: Callable
+    init_state: Callable
+
+
+def build_train_fns(model, cfg: Config) -> TrainFns:
+    """Build jitted train/eval steps for a model following the uniform
+    protocol apply(params, batch, ctx, training) -> (pred, aux)."""
+
+    def loss_fn(params, batch: Batch, ctx: FoldContext, class_weight, rng):
+        pred, feat = model.apply(
+            params, batch, ctx, True, rngs={"dropout": rng}
+        )
+        loss = classification_loss(
+            pred, batch.y, class_weight, batch.sample_mask, cfg
+        )
+        pca_params = params["params"]["learnable_pca_params"]
+        loss = loss + get_feature_loss(
+            pca_params, ctx, feat, cfg, batch.sample_mask
+        )
+        return loss, pred
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, ctx, class_weight, rng, tx_idx=0):
+        (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, ctx, class_weight, rng
+        )
+        updates, opt_state = _tx[0].update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def eval_step(params, batch, ctx):
+        pred, _ = model.apply(params, batch, ctx, False)
+        loss = classification_loss(
+            pred, batch.y, None, batch.sample_mask, cfg.replace(
+                weight_balance=False, weighted_loss=False,
+                batch_weighted_loss=False,
+            )
+        )
+        return pred, loss
+
+    _tx = [None]
+
+    def init_state(rng, batch, ctx, steps_per_epoch):
+        params = model.init(rng, batch, ctx, False)
+        _tx[0] = make_optimizer(cfg, steps_per_epoch)
+        opt_state = _tx[0].init(params)
+        return params, opt_state
+
+    return TrainFns(train_step, eval_step, init_state)

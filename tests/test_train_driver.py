@@ -1,0 +1,45 @@
+"""End-to-end CV training on a tiny synthetic cohort (SURVEY.md §4.6) +
+metric implementation checks."""
+import numpy as np
+
+from multilevel_gnn_tpu.core.config import Config
+from multilevel_gnn_tpu.data.synthetic import make_synthetic_cohort
+from multilevel_gnn_tpu.train import metrics as M
+from multilevel_gnn_tpu.train.driver import run_experiment
+
+from test_data_pipeline import gbm_like_cfg
+
+
+def test_roc_auc_matches_sklearn(rng):
+    from sklearn.metrics import roc_auc_score
+
+    for _ in range(5):
+        y = rng.rand(50) > 0.5
+        if y.all() or not y.any():
+            continue
+        s = rng.rand(50)
+        s[:10] = s[0]  # ties
+        np.testing.assert_allclose(M.roc_auc(y, s), roc_auc_score(y, s), rtol=1e-9)
+
+
+def test_end_to_end_cv_run():
+    cfg = gbm_like_cfg(
+        epochs=5,
+        num_run=1,
+        batch_size=8,
+        split_shaffle=True,
+        split_seed=3,
+        node_embedding_dim=4,
+        hidden_channels=8,
+        final_channels=4,
+        head_dim=16,
+    )
+    cohort = make_synthetic_cohort(cfg, seed=0, n_patients=50, n_pathways=5)
+    results = run_experiment(cfg, cohort)
+    assert results["check_epochs"] == [5]
+    auc = results["auc"][5]
+    acc = results["acc"][5]
+    assert 0.0 <= auc <= 1.0
+    assert 0.0 <= acc <= 1.0
+    assert np.isfinite(results["auc_by_loss"][5])
+    assert results["wall_time_s"] > 0
