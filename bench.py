@@ -1,0 +1,196 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: edges/s/chip of the batched SpMM aggregation (gather + weighted
+segment-mean), the hot op of the flagship SAGE path, at GBM production scale
+(N=15405 node slots, E=150k edges, B=32, C=64).
+
+Backends compared: 'pallas' (XLA gather + Pallas MXU one-hot segment-sum;
+no XLA scatter) vs the 'xla' gather+segment_sum fallback.  vs_baseline is
+the speedup of the reported backend over the XLA fallback (the reference
+publishes no numbers to compare against — BASELINE.md).
+
+A persistent compilation cache is enabled: on this TPU, XLA scatter and
+Mosaic kernels compile through a remote-compile path costing minutes per
+shape; the cache (checked into the workspace dir) amortizes across rounds.
+
+Set MGTPU_BENCH_TRAIN_STEP=1 to also time the full flagship train step
+(stderr only; it compiles many shapes on first run).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def timeit(fn, *args, iters=20, warmup=2):
+    import jax
+
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_spmm(backend: str):
+    import jax
+    import jax.numpy as jnp
+
+    from multilevel_gnn_tpu.core.graph import Graph
+    from multilevel_gnn_tpu.ops import spmm
+
+    rng = np.random.RandomState(0)
+    N, E, B, C = 15405, 150_000, 32, 64
+    edges = rng.randint(0, N, size=(2, E))
+    attr = rng.rand(E).astype(np.float32)
+    g = Graph.from_edges(edges, attr, N)
+    if backend == "pallas":
+        g = g.with_sorted_meta()
+    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+
+    fn = jax.jit(
+        lambda x: spmm.gather_scatter(x, g, "mean", g.edge_attr, backend=backend)
+    )
+    t0 = time.perf_counter()
+    out = fn(x)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+    dt = timeit(fn, x)
+    return B * E / dt, dt, compile_s, out
+
+
+def bench_train_step():
+    import jax
+    import jax.numpy as jnp
+
+    from multilevel_gnn_tpu.core.batch import Batch, make_fold_context
+    from multilevel_gnn_tpu.core.config import Config
+    from multilevel_gnn_tpu.core.graph import Graph
+    from multilevel_gnn_tpu.models.multilevel_gnn import MultilevelGNN
+    from multilevel_gnn_tpu.ops import spmm
+    from multilevel_gnn_tpu.train.step import build_train_fns
+
+    spmm.set_backend("pallas")
+    rng = np.random.RandomState(0)
+    NODE_NUM, P, K, G_ROWS = 5135, 146, 2, 25015
+    NODES = 3 * NODE_NUM
+    E, B = 150_000, 32
+    cfg = Config(
+        model="multilevel_gnn", gnn_name="sage", gnn_act="leakyrelu",
+        num_layers=2, hidden_channels=64, final_channels=32,
+        node_embedding=True, node_embedding_dim=64, node_num=NODE_NUM,
+        pathway_num=P, pca_dim=K, pca_sim_dim=K, pathway_pool_dim=4,
+        pca_pool_dim=2, conv_channel_list=[32, 64], conv_kernel_list=[1, 1],
+        head_dim=256, use_age=True, value_att_mask=True,
+        mutual_info_mask=True, pca_match_mask=True, weighted_edge=True,
+        pca_indep_loss=True, feature_drop=True, weight_balance=True,
+        batch_size=B, kernel_backend="pallas",
+    )
+    graph = (
+        Graph.from_edges(
+            rng.randint(0, NODES, size=(2, E)),
+            rng.rand(E).astype(np.float32),
+            NODES,
+        )
+        .with_self_loops()
+        .with_sorted_meta()
+    )
+    ctx = make_fold_context(
+        graph,
+        rng.randint(-1, NODES, G_ROWS),
+        np.sort(rng.randint(0, 3 * P, G_ROWS)),
+        (rng.rand(G_ROWS, 1) > 0.3).astype(np.float32),
+        n_pathways=P,
+    )
+    batch = Batch(
+        x=jnp.asarray(rng.randn(B, NODES).astype(np.float32)),
+        y=jnp.asarray(np.eye(2, dtype=np.float32)[rng.randint(0, 2, B)]),
+        age=jnp.asarray(rng.rand(B).astype(np.float32) * 80),
+        sample_mask=jnp.ones(B, bool),
+    )
+    model = MultilevelGNN(cfg)
+    fns = build_train_fns(model, cfg)
+    params, opt_state = fns.init_state(jax.random.PRNGKey(0), batch, ctx, 10)
+    cw = jnp.ones(2, jnp.float32)
+    key = jax.random.PRNGKey(1)
+
+    t0 = time.perf_counter()
+    params, opt_state, loss = fns.train_step(params, opt_state, batch, ctx, cw, key)
+    jax.block_until_ready(loss)
+    compile_s = time.perf_counter() - t0
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = fns.train_step(
+            params, opt_state, batch, ctx, cw, key
+        )
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+    return dt, compile_s, graph.n_edges
+
+
+def main():
+    import jax
+
+    from multilevel_gnn_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    results = {}
+    for backend in ("pallas", "xla"):
+        try:
+            eps, dt, compile_s, out = bench_spmm(backend)
+            results[backend] = (eps, dt)
+            print(
+                f"spmm {backend}: {eps:.3e} edges/s ({dt*1e3:.2f} ms, "
+                f"compile {compile_s:.1f}s)",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"spmm {backend} failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    if "pallas" in results and "xla" in results:
+        backend = max(results, key=lambda k: results[k][0])
+        vs = results[backend][0] / results["xla"][0]
+    elif results:
+        backend = next(iter(results))
+        vs = 1.0
+    else:
+        print(json.dumps({"metric": "spmm_edges_per_s_per_chip", "value": 0,
+                          "unit": "edges/s", "vs_baseline": 0}))
+        return
+    eps = results[backend][0]
+    print(
+        json.dumps(
+            {
+                "metric": f"spmm_edges_per_s_per_chip[{backend}]",
+                "value": eps,
+                "unit": "edges/s",
+                "vs_baseline": vs,
+            }
+        )
+    )
+
+    if os.environ.get("MGTPU_BENCH_TRAIN_STEP") == "1":
+        try:
+            dt, compile_s, n_edges = bench_train_step()
+            print(
+                f"flagship train step (B=32, E={n_edges}): {dt*1e3:.2f} ms "
+                f"(compile {compile_s:.1f}s)",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"train-step bench failed: {e}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

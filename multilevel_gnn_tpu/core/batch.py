@@ -64,6 +64,9 @@ class FoldContext:
     info_mask: jax.Array
     reorder_idxs: jax.Array
     pca_seed: Optional[jax.Array] = None
+    # SortedSegments over gene_pca_match (resolved to node slots) — enables
+    # the scatter-free Pallas backward of the gene->PCA-row gather
+    pca_gather_seg: Optional[object] = None
 
     @property
     def num_pca_rows(self) -> int:
@@ -79,12 +82,16 @@ def make_fold_context(
     pca_seed: Optional[np.ndarray] = None,
     n_pathways: int = 146,
 ) -> FoldContext:
+    from multilevel_gnn_tpu.ops.pallas.segment_sum import SortedSegments
+
     g = np.asarray(gene_pca_match, np.int32)
     if info_mask is None:
         info_mask = np.ones((len(g), 1), np.float32)
     info_mask = np.asarray(info_mask, np.float32).reshape(len(g), 1)
     if reorder_idxs is None:
         reorder_idxs = np.arange(n_pathways, dtype=np.int32)
+    # torch negative-index semantics: -1 resolves to the last node slot
+    resolved = np.where(g >= 0, g, graph.n_nodes + g)
     return FoldContext(
         graph=graph,
         gene_pca_match=jnp.asarray(g),
@@ -94,4 +101,5 @@ def make_fold_context(
         pca_seed=jnp.asarray(np.asarray(pca_seed, np.float32))
         if pca_seed is not None
         else None,
+        pca_gather_seg=SortedSegments.build(resolved, graph.n_nodes),
     )

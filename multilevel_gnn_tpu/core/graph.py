@@ -41,6 +41,10 @@ class Graph:
                slot which is dropped, and their attr is zeroed).
     n_nodes:   static int — number of real nodes.
     n_edges:   static int — number of real edges (<= E).
+    csr/csc:   optional SortedSegments metadata (receiver- / sender-sorted)
+               for the Pallas segment-sum backend; built host-side via
+               with_sorted_meta().
+    in_deg:    optional (n_nodes,) float32 host-precomputed in-degree.
     """
 
     senders: jax.Array
@@ -49,6 +53,9 @@ class Graph:
     edge_mask: jax.Array
     n_nodes: int = dataclasses.field(metadata=dict(static=True))
     n_edges: int = dataclasses.field(metadata=dict(static=True))
+    csr: Optional[object] = None
+    csc: Optional[object] = None
+    in_deg: Optional[jax.Array] = None
 
     @staticmethod
     def from_edges(
@@ -151,8 +158,26 @@ class Graph:
     def num_padded_edges(self) -> int:
         return int(self.senders.shape[0])
 
+    def with_sorted_meta(self) -> "Graph":
+        """Attach host-precomputed SortedSegments (receiver- and
+        sender-sorted) + in-degree for the Pallas segment-sum backend.
+        Must be called host-side (outside jit) on concrete arrays."""
+        from multilevel_gnn_tpu.ops.pallas.segment_sum import SortedSegments
+
+        recv = np.asarray(self.receivers)
+        send = np.asarray(self.senders)
+        mask = np.asarray(self.edge_mask)
+        csr = SortedSegments.build(recv, self.n_nodes, mask=mask)
+        csc = SortedSegments.build(send, self.n_nodes, mask=mask)
+        deg = np.bincount(recv[mask], minlength=self.n_nodes).astype(np.float32)
+        return dataclasses.replace(
+            self, csr=csr, csc=csc, in_deg=jnp.asarray(deg)
+        )
+
     def in_degree(self) -> jax.Array:
         """In-degree per node counting only real edges."""
+        if self.in_deg is not None:
+            return self.in_deg
         seg = jnp.where(self.edge_mask, self.receivers, self.n_nodes)
         return jax.ops.segment_sum(
             jnp.ones_like(self.receivers, jnp.float32), seg, self.n_nodes + 1

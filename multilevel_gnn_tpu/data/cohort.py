@@ -532,9 +532,17 @@ class Cohort:
         return (counts.max() / counts) ** self.cfg.weight_power
 
     def fold(
-        self, train_idx: np.ndarray, fold_i: int, pad_edges_to: Optional[int] = None
+        self,
+        train_idx: np.ndarray,
+        fold_i: int,
+        pad_edges_to: Optional[int] = None,
+        edge_bucket: int = 2048,
     ) -> FoldData:
-        """Full per-fold derivation pipeline (mirrors train.py:290-307)."""
+        """Full per-fold derivation pipeline (mirrors train.py:290-307).
+
+        Edge counts are padded up to a bucket multiple so folds share jit
+        compilations; sorted-segment metadata for the Pallas backend is
+        attached last (padding/self-loop rebuilds drop it)."""
         cfg = self.cfg
         mask, mi = self.mutual_mask(train_idx, fold_i)
         seed, attr, reorder = self._pathway_pca(mask)
@@ -545,12 +553,18 @@ class Cohort:
                 else np.arange(self.n_pathways, dtype=np.int32)
             )
         edge_index, edge_attr, _ = self.build_edges(mask, train_idx)
-        graph = Graph.from_edges(
-            edge_index, edge_attr, self.num_nodes, pad_to=pad_edges_to
-        )
+        graph = Graph.from_edges(edge_index, edge_attr, self.num_nodes)
         # SAGE/GAT-family convs expect self-loops appended once per fold
         if cfg.gnn_name.lower() in ("sage", "rsage", "gat"):
             graph = graph.with_self_loops()
+        if pad_edges_to is None and edge_bucket:
+            pad_edges_to = max(
+                ((graph.n_edges + edge_bucket - 1) // edge_bucket) * edge_bucket,
+                edge_bucket,
+            )
+        if pad_edges_to is not None:
+            graph = graph.pad_edges_to(pad_edges_to)
+        graph = graph.with_sorted_meta()
         ctx = make_fold_context(
             graph,
             self.gene_pca_match,

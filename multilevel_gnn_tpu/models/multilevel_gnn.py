@@ -178,12 +178,18 @@ class MultilevelGNN(nn.Module):
 
     def gather_pca_rows(self, x, ctx: FoldContext):
         """Gene -> PCA-row gather with torch negative-index semantics for
-        missing (-1) entries (reference :212-217)."""
+        missing (-1) entries (reference :212-217).  On the pallas backend
+        the gather's backward is a Pallas segment-sum (scatter-free)."""
+        from multilevel_gnn_tpu.ops import spmm
+
         cfg = self.cfg
         nodes = x.shape[-2]
         match = ctx.gene_pca_match
         idx = jnp.where(match >= 0, match, nodes + match)
-        xg = jnp.take(x, idx, axis=-2)
+        if spmm.get_backend() == "pallas" and ctx.pca_gather_seg is not None:
+            xg = spmm.gather_rows(x, idx, ctx.pca_gather_seg)
+        else:
+            xg = jnp.take(x, idx, axis=-2)
         if cfg.pca_match_mask:
             xg = xg * (match >= 0).astype(x.dtype)[:, None]
         return xg
@@ -266,22 +272,21 @@ def get_feature_loss(
             std = jnp.std(flat, axis=0, ddof=1)
         loss = loss - cfg.pca_loss_coef * jnp.log(jnp.mean(std))
     if cfg.pca_indep_loss:
+        from multilevel_gnn_tpu.ops.pathway import slot_onehot
+
         p = jax.lax.stop_gradient(pca_params * ctx.info_mask)
-        seg = ctx.raw_indice
         n_slots = 3 * cfg.pathway_num
+        # segment-sums over pathway slots as one-hot matmuls (S is small;
+        # avoids XLA scatter, whose TPU compile is pathological)
+        M = slot_onehot(ctx.raw_indice, n_slots)  # (S, G)
         indep = jnp.asarray(0.0, jnp.float32)
         count = 0
         for i in range(cfg.pca_dim - 1):
             mul_res = len_res = None
             for j in range(i + 1, cfg.pca_dim):
                 count += 1
-                mul_res = seg_ops.segment_sum(
-                    (p[:, i] * p[:, j])[:, None], seg, n_slots, axis=0
-                )[:, 0]
-                len_res = jnp.sqrt(
-                    seg_ops.segment_sum((p[:, i] ** 2)[:, None], seg, n_slots, axis=0)[:, 0]
-                    * seg_ops.segment_sum((p[:, j] ** 2)[:, None], seg, n_slots, axis=0)[:, 0]
-                )
+                mul_res = M @ (p[:, i] * p[:, j])
+                len_res = jnp.sqrt((M @ (p[:, i] ** 2)) * (M @ (p[:, j] ** 2)))
             indep = indep + jnp.mean(jnp.abs(mul_res / (len_res + 1e-7)))
         loss = loss + indep / count
     return loss

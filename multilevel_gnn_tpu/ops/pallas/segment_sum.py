@@ -1,0 +1,231 @@
+"""Pallas sorted-segment-sum: MXU one-hot contraction over static topology.
+
+Motivation (measured on the target TPU): XLA scatter-add compiles
+pathologically slowly (~166 s per distinct shape through the remote-compile
+path) while running fast; gather compiles instantly.  Every neighborhood
+aggregation and every gather-backward in this framework is a segment-sum
+over a *statically known, destination-sorted* index array — so we replace
+all XLA scatters with this kernel:
+
+  for each (seg-tile n, feature-tile f, batch-tile b, chunk c of tile n):
+      onehot[r, e] = (ids[e] == n*TN + r)            # iota compare, VPU
+      out[n-tile, b, f] += onehot @ data[c, b, f]    # MXU matmul
+
+Sortedness gives each segment tile a contiguous chunk range; per-tile chunk
+offsets ride scalar prefetch (PrefetchScalarGridSpec) so the grid's chunk
+axis is sized by the *max* chunks per tile, not the total.  Out-of-range /
+padding ids produce all-zero one-hot rows; grid steps past a tile's chunk
+count map to a sentinel all-padding chunk and are skipped.
+
+ids are stored as (chunk, TE/128, 128) int32 tiles to satisfy the TPU
+(8, 128) block divisibility rule; the one-hot is built 3D and minor-collapsed
+to (TN, TE) for the matmul.
+
+This kernel is also the backward of gather: d_x = segment_sum(d_msg sorted
+by sender).  SortedSegments precomputes (host-side) the permutation + chunk
+metadata for any static index array (receivers, senders, PCA-row matches).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SortedSegments:
+    """Host-precomputed sorted-segment metadata for a static index array.
+
+    ids3d:       (C+1, TE/128, 128) int32 — sorted segment ids in chunk
+                 tiles, padded with num_segments; row C is the sentinel
+                 all-padding chunk.
+    chunk_first: (T,) int32 — first chunk index overlapping each out tile.
+    n_chunks:    (T,) int32 — chunks overlapping each out tile.
+    perm:        (E,) int32 or None — permutation sorting the original index
+                 array (None = already sorted).
+    """
+
+    ids3d: jax.Array
+    chunk_first: jax.Array
+    n_chunks: jax.Array
+    perm: Optional[jax.Array]
+    num_segments: int = dataclasses.field(metadata=dict(static=True))
+    n_ids: int = dataclasses.field(metadata=dict(static=True))
+    tn: int = dataclasses.field(metadata=dict(static=True))
+    te: int = dataclasses.field(metadata=dict(static=True))
+    max_chunks: int = dataclasses.field(metadata=dict(static=True))
+    n_tiles: int = dataclasses.field(metadata=dict(static=True))
+
+    @staticmethod
+    def build(
+        ids: np.ndarray,
+        num_segments: int,
+        tn: int = 128,
+        te: int = 1024,
+        mask: Optional[np.ndarray] = None,
+    ) -> "SortedSegments":
+        """ids: (E,) host array (any order); mask False => dropped; negative
+        or out-of-range ids dropped."""
+        assert te % 128 == 0
+        ids = np.asarray(ids, np.int64).copy()
+        if mask is not None:
+            ids = np.where(np.asarray(mask), ids, num_segments)
+        ids = np.where((ids < 0) | (ids >= num_segments), num_segments, ids)
+        order = np.argsort(ids, kind="stable")
+        sorted_ids = ids[order]
+        identity = bool(np.all(order == np.arange(len(order))))
+        E = len(ids)
+        E_pad = max(_round_up(E, te), te)
+        sorted_ids = np.concatenate(
+            [sorted_ids, np.full(E_pad - E, num_segments, np.int64)]
+        )
+        n_chunks_total = E_pad // te
+        n_tiles = max(_round_up(num_segments, tn) // tn, 1)
+        first = np.searchsorted(sorted_ids, np.arange(n_tiles) * tn, "left")
+        last = np.searchsorted(
+            sorted_ids,
+            np.minimum((np.arange(n_tiles) + 1) * tn, num_segments),
+            "left",
+        )
+        cf = np.minimum(first // te, n_chunks_total - 1)
+        cl = np.maximum((np.maximum(last, 1) - 1) // te, cf)
+        n_chunks = np.where(last > first, cl - cf + 1, 0)
+        max_chunks = int(max(n_chunks.max(), 1))
+        # sentinel all-padding chunk at index n_chunks_total
+        ids3d = np.concatenate(
+            [sorted_ids, np.full(te, num_segments, np.int64)]
+        ).reshape(n_chunks_total + 1, te // 128, 128)
+        return SortedSegments(
+            ids3d=jnp.asarray(ids3d, jnp.int32),
+            chunk_first=jnp.asarray(cf, jnp.int32),
+            n_chunks=jnp.asarray(n_chunks, jnp.int32),
+            perm=None if identity else jnp.asarray(order, jnp.int32),
+            num_segments=num_segments,
+            n_ids=E,
+            tn=tn,
+            te=te,
+            max_chunks=max_chunks,
+            n_tiles=n_tiles,
+        )
+
+
+def _kernel(chunk_first_ref, n_chunks_ref, ids_ref, data_ref, out_ref):
+    c = pl.program_id(3)
+    n = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(c < n_chunks_ref[n])
+    def _():
+        tn = out_ref.shape[0]
+        sub, lane = ids_ref.shape[1], ids_ref.shape[2]
+        te = sub * lane
+        base = n * tn
+        ids = ids_ref[0]  # (te/128, 128)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tn, sub, lane), 0) + base
+        onehot = (ids[None] == rows).astype(jnp.float32).reshape(tn, te)
+        # 'ne,bec->nbc' on the MXU; HIGHEST keeps f32 data exact (the
+        # default bf16 passes round the data mantissa)
+        out_ref[:] += jax.lax.dot_general(
+            onehot,
+            data_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
+def sorted_segment_sum(
+    data: jax.Array,
+    seg: SortedSegments,
+    tc: int = 128,
+    tb: int = 8,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """data: (B, E, C) or (E, C) float32, rows already in seg's sorted order
+    (use segment_sum_by to apply seg.perm).  Returns (B, num_segments, C) /
+    (num_segments, C)."""
+    if interpret is None:
+        # Mosaic kernels only compile on TPU; interpret elsewhere (tests/CPU)
+        interpret = jax.default_backend() != "tpu"
+    squeeze = data.ndim == 2
+    if squeeze:
+        data = data[None]
+    B, E, C = data.shape
+    assert E == seg.n_ids, (E, seg.n_ids)
+    n_chunks_total = seg.ids3d.shape[0] - 1  # last row is the sentinel
+    E_pad = n_chunks_total * seg.te
+    tc = min(tc, _round_up(C, 128))
+    C_pad = _round_up(C, tc)
+    tb = min(tb, B)
+    B_pad = _round_up(B, tb)
+    # +seg.te: a zero chunk aligned with the sentinel ids row
+    data = jnp.pad(
+        data, ((0, B_pad - B), (0, E_pad + seg.te - E), (0, C_pad - C))
+    )
+    N_pad = seg.n_tiles * seg.tn
+    grid = (seg.n_tiles, C_pad // tc, B_pad // tb, seg.max_chunks)
+
+    # Overflow steps (c >= n_chunks[n]) are skipped by the kernel gate; the
+    # index map clamps them onto the sentinel chunk at n_chunks_total.
+    def ids_map(n, f, b, c, chunk_first, n_chunks):
+        return (jnp.minimum(chunk_first[n] + c, n_chunks_total), 0, 0)
+
+    def data_map(n, f, b, c, chunk_first, n_chunks):
+        return (b, jnp.minimum(chunk_first[n] + c, n_chunks_total), f)
+
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, seg.te // 128, 128), ids_map),
+                pl.BlockSpec((tb, seg.te, tc), data_map),
+            ],
+            out_specs=pl.BlockSpec(
+                (seg.tn, tb, tc), lambda n, f, b, c, cf, nc: (n, b, f)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((N_pad, B_pad, C_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2
+            * seg.n_tiles
+            * seg.max_chunks
+            * seg.te
+            * seg.tn
+            * B_pad
+            * C_pad,
+            bytes_accessed=E_pad * B_pad * C_pad * 4 + N_pad * B_pad * C_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(seg.chunk_first, seg.n_chunks, seg.ids3d, data)
+    out = out[: seg.num_segments, :B, :C]
+    out = jnp.transpose(out, (1, 0, 2))  # (B, N, C)
+    return out[0] if squeeze else out
+
+
+def segment_sum_by(
+    data: jax.Array,
+    seg: SortedSegments,
+    tc: int = 128,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Like sorted_segment_sum but data rows are in the ORIGINAL index
+    order; applies seg.perm first (XLA gather — compiles fast)."""
+    if seg.perm is not None:
+        data = jnp.take(data, seg.perm, axis=-2)
+    return sorted_segment_sum(data, seg, tc, interpret=interpret)

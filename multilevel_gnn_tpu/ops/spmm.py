@@ -8,18 +8,31 @@ optionally scale by per-edge weights, and segment-reduce into destinations.
 
 Backends:
   * 'xla'    — gather + jax.ops.segment_* (always available, oracle).
-  * 'pallas' — fused gather-scale-reduce kernel (TPU), see ops/pallas/.
+  * 'pallas' — XLA gather + Pallas MXU one-hot segment-sum, with a custom
+    VJP whose backward is ALSO gather + Pallas segment-sum over the
+    sender-sorted permutation.  No XLA scatter anywhere (avoids the ~166 s
+    per-shape scatter compile measured on the target TPU).  Requires
+    Graph.with_sorted_meta().  Edge weights are treated as data (zero
+    cotangent) — true of every reference model: multiplicative edge_attr is
+    loaded data, learned edge embeddings enter additively via GENConv.
 Selected globally via set_backend() or per-call with backend=...
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from multilevel_gnn_tpu.core.graph import Graph
 from multilevel_gnn_tpu.ops import segment as seg_ops
+from multilevel_gnn_tpu.ops.pallas.segment_sum import (
+    SortedSegments,
+    segment_sum_by,
+    sorted_segment_sum,
+)
 
 _BACKEND = "xla"
 
@@ -39,6 +52,80 @@ def gather(x: jax.Array, index: jax.Array, axis: int = -2) -> jax.Array:
     return jnp.take(x, index, axis=axis)
 
 
+def _float0_zeros(tree):
+    def z(a):
+        if a is None:
+            return None
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            return jnp.zeros(a.shape, a.dtype)
+        return np.zeros(a.shape, jax.dtypes.float0)
+
+    return jax.tree.map(z, tree)
+
+
+@jax.custom_vjp
+def _fused_spmm_sum(x, w, senders, receivers, csr, csc):
+    """out[.., n, c] = sum_{e: recv[e]=n} x[.., send[e], c] * w[e, 0].
+
+    Forward: XLA gather + Pallas sorted-segment-sum (receivers pre-sorted).
+    Backward: d_x via gather of d_out at receivers + Pallas segment-sum over
+    the sender-sorted permutation.  w is non-differentiable (zero cotangent).
+    """
+    msg = gather(x, senders) * w
+    return sorted_segment_sum(msg, csr)
+
+
+def _fused_fwd(x, w, senders, receivers, csr, csc):
+    out = _fused_spmm_sum(x, w, senders, receivers, csr, csc)
+    return out, (w, receivers, csr, csc)
+
+
+def _fused_bwd(res, d_out):
+    w, receivers, csr, csc = res
+    g = gather(d_out, receivers) * w
+    d_x = segment_sum_by(g, csc)
+    return (
+        d_x,
+        jnp.zeros_like(w),
+        np.zeros(receivers.shape, jax.dtypes.float0),
+        np.zeros(receivers.shape, jax.dtypes.float0),
+        _float0_zeros(csr),
+        _float0_zeros(csc),
+    )
+
+
+_fused_spmm_sum.defvjp(_fused_fwd, _fused_bwd)
+
+
+@jax.custom_vjp
+def gather_rows(x, idx, seg):
+    """Row gather x[..., idx, :] with a scatter-free backward.
+
+    idx must be pre-resolved (non-negative) indices; seg is the
+    SortedSegments built from idx over x's row count.  Backward:
+    d_x = Pallas segment-sum of d_out over idx — replaces XLA's scatter-add
+    transpose of gather (the 166 s compile).
+    """
+    return jnp.take(x, idx, axis=-2)
+
+
+def _gather_rows_fwd(x, idx, seg):
+    return gather_rows(x, idx, seg), (idx, seg)
+
+
+def _gather_rows_bwd(res, d_out):
+    idx, seg = res
+    d_x = segment_sum_by(d_out, seg)
+    return (
+        d_x,
+        np.zeros(idx.shape, jax.dtypes.float0),
+        _float0_zeros(seg),
+    )
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def gather_scatter(
     x: jax.Array,
     graph: Graph,
@@ -48,15 +135,25 @@ def gather_scatter(
 ) -> jax.Array:
     """out[dst] = reduce_{e: recv[e]=dst} x[src[e]] * w[e].
 
-    x: (..., N, C); edge_weight: (E,) or (E, C) or None; returns (..., N, C).
+    x: (..., N, C); edge_weight: (E,) or (E, 1) or None; returns (..., N, C).
     """
     backend = backend or _BACKEND
-    if backend == "pallas":
-        from multilevel_gnn_tpu.ops.pallas import spmm as pallas_spmm
-
-        out = pallas_spmm.gather_scatter(x, graph, reduce, edge_weight)
-        if out is not None:
-            return out
+    if (
+        backend == "pallas"
+        and graph.csr is not None
+        and reduce in ("sum", "add", "mean")
+    ):
+        w = edge_weight
+        if w is None:
+            w = jnp.ones((graph.num_padded_edges, 1), x.dtype)
+        elif w.ndim == 1:
+            w = w[:, None]
+        if reduce == "mean":
+            inv = 1.0 / jnp.clip(graph.in_degree(), 1.0, None)
+            w = w * inv[graph.receivers][:, None]
+        return _fused_spmm_sum(
+            x, w, graph.senders, graph.receivers, graph.csr, graph.csc
+        )
     msg = gather(x, graph.senders)
     if edge_weight is not None:
         w = edge_weight

@@ -1,0 +1,7 @@
+from multilevel_gnn_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    shard_ctx,
+    replicate,
+    make_parallel_train_step,
+)

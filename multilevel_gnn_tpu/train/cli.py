@@ -29,6 +29,12 @@ def main(argv=None):
 
     from multilevel_gnn_tpu.core.config import Config
     from multilevel_gnn_tpu.train.driver import run_experiment
+    from multilevel_gnn_tpu.utils.runtime import (
+        configure_backend,
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
 
     overrides = {}
     for kv in args.set:
@@ -41,6 +47,7 @@ def main(argv=None):
     cfg = Config.from_yaml(args.config, **overrides)
     if args.debug:
         cfg = cfg.replace(num_run=1, epochs=5, batch_size=8)
+    configure_backend(cfg)
 
     if args.synthetic:
         from multilevel_gnn_tpu.data.synthetic import make_synthetic_cohort

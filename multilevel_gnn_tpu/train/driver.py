@@ -124,18 +124,7 @@ def run_fold(
     run_i: int,
     check_epochs: List[int],
 ) -> FoldResult:
-    fold = cohort.fold(
-        np.asarray(train_idx),
-        fold_i,
-        pad_edges_to=None,
-    )
-    # pad edges to a bucket so folds share jit compilations
-    g = fold.ctx.graph
-    bucket = max(_round_up(g.num_padded_edges, 2048), 2048)
-    if g.num_padded_edges != bucket:
-        fold = dataclasses.replace(
-            fold, ctx=dataclasses.replace(fold.ctx, graph=g.pad_edges_to(bucket))
-        )
+    fold = cohort.fold(np.asarray(train_idx), fold_i)
     ctx = fold.ctx
 
     model_cfg = cfg.replace(

@@ -1,0 +1,59 @@
+"""Pallas sorted-segment-sum kernel vs XLA oracle (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multilevel_gnn_tpu.ops.pallas.segment_sum import (
+    SortedSegments,
+    segment_sum_by,
+    sorted_segment_sum,
+)
+
+
+def xla_oracle(data, ids, n):
+    return jax.ops.segment_sum(jnp.moveaxis(data, -2, 0), jnp.asarray(ids), n)
+
+
+@pytest.mark.parametrize(
+    "E,N,C,B", [(700, 300, 64, 1), (1000, 150, 96, 3), (50, 700, 130, 2)]
+)
+def test_sorted_segment_sum(rng, E, N, C, B):
+    ids = np.sort(rng.randint(0, N, size=E))
+    seg = SortedSegments.build(ids, N, tn=128, te=256)
+    assert seg.perm is None
+    data = rng.randn(B, E, C).astype(np.float32)
+    got = sorted_segment_sum(jnp.asarray(data), seg, interpret=True)
+    want = np.moveaxis(np.asarray(xla_oracle(jnp.asarray(data), ids, N)), 0, -2)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4)
+
+
+def test_unsorted_with_perm_and_dropped(rng):
+    E, N, C = 900, 200, 64
+    ids = rng.randint(-1, N, size=E)  # includes -1 (dropped)
+    mask = rng.rand(E) > 0.2
+    seg = SortedSegments.build(ids, N, mask=mask)
+    assert seg.perm is not None
+    data = rng.randn(E, C).astype(np.float32)
+    got = segment_sum_by(jnp.asarray(data), seg, interpret=True)
+    keep = mask & (ids >= 0)
+    want = np.zeros((N, C), np.float32)
+    for i in np.where(keep)[0]:
+        want[ids[i]] += data[i]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4)
+
+
+def test_empty_segments_and_skew(rng):
+    # hub-heavy distribution: one segment receives half the edges
+    E, N, C = 2000, 500, 32
+    ids = np.concatenate(
+        [np.full(E // 2, 7), rng.randint(0, N, size=E - E // 2)]
+    )
+    ids = np.sort(ids)
+    seg = SortedSegments.build(ids, N)
+    data = rng.randn(E, C).astype(np.float32)
+    got = segment_sum_by(jnp.asarray(data), seg, interpret=True)
+    want = np.moveaxis(
+        np.asarray(xla_oracle(jnp.asarray(data)[None], ids, N))[:, 0], 0, 0
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4)

@@ -1,0 +1,71 @@
+"""Fused Pallas SpMM backend (fwd + custom VJP) vs the XLA backend."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multilevel_gnn_tpu.core.graph import Graph
+from multilevel_gnn_tpu.ops import spmm
+
+
+def build(rng, N=100, E=400, with_attr=True):
+    edges = rng.randint(0, N, size=(2, E))
+    attr = rng.rand(E).astype(np.float32) if with_attr else None
+    g = Graph.from_edges(edges, attr, N, pad_to=E + 37).with_sorted_meta()
+    return g
+
+
+def test_pallas_spmm_forward_matches_xla(rng):
+    g = build(rng)
+    x = jnp.asarray(rng.randn(3, g.n_nodes, 70).astype(np.float32))
+    for reduce in ("sum", "mean"):
+        want = spmm.gather_scatter(x, g, reduce, g.edge_attr, backend="xla")
+        got = spmm.gather_scatter(x, g, reduce, g.edge_attr, backend="pallas")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_pallas_spmm_no_weight(rng):
+    g = build(rng, with_attr=False)
+    x = jnp.asarray(rng.randn(2, g.n_nodes, 33).astype(np.float32))
+    want = spmm.gather_scatter(x, g, "sum", None, backend="xla")
+    got = spmm.gather_scatter(x, g, "sum", None, backend="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_spmm_grad_matches_xla(rng):
+    g = build(rng)
+    x = jnp.asarray(rng.randn(2, g.n_nodes, 24).astype(np.float32))
+    t = jnp.asarray(rng.randn(2, g.n_nodes, 24).astype(np.float32))
+
+    def loss(x, backend):
+        out = spmm.gather_scatter(x, g, "mean", g.edge_attr, backend=backend)
+        return jnp.sum(out * t) + jnp.sum(jnp.tanh(out))
+
+    g_x = jax.grad(lambda x: loss(x, "xla"))(x)
+    g_p = jax.grad(lambda x: loss(x, "pallas"))(x)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_backend_in_conv_and_model(rng):
+    """RSAGE conv through the pallas backend == xla backend, fwd+grad."""
+    from multilevel_gnn_tpu.nn.conv import RSAGEConv
+
+    g = build(rng, N=80, E=300).with_self_loops().with_sorted_meta()
+    x = jnp.asarray(rng.randn(2, g.n_nodes, 16).astype(np.float32))
+    conv = RSAGEConv(16, 8, act_type="leakyrelu")
+    params = conv.init(jax.random.PRNGKey(0), x, g, g.edge_attr)
+
+    spmm.set_backend("pallas")
+    try:
+        out_p = conv.apply(params, x, g, g.edge_attr)
+        gp = jax.grad(
+            lambda p: jnp.sum(conv.apply(p, x, g, g.edge_attr) ** 2)
+        )(params)
+    finally:
+        spmm.set_backend("xla")
+    out_x = conv.apply(params, x, g, g.edge_attr)
+    gx = jax.grad(lambda p: jnp.sum(conv.apply(p, x, g, g.edge_attr) ** 2))(params)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
