@@ -233,6 +233,7 @@ class Config:
     pca_lowrank_niter: int = 2
 
     # ---- framework-only knobs (new; no reference analog)
+    slot_sizes: Optional[tuple] = None  # genes per pathway-omics slot (AE)
     kernel_backend: str = "xla"  # xla | pallas
     mesh_data_axis: int = 1  # data-parallel mesh size
     mesh_model_axis: int = 1  # edge-partition mesh size

@@ -294,6 +294,11 @@ class Cohort:
         """Binary class per patient = y[1] > 0.5 (reference :331-337)."""
         return (self.Y[:, 1] > 0.5).astype(np.int64)
 
+    def slot_sizes(self) -> tuple:
+        """Genes per pathway-omics slot (static AE foreach-decoder shape)."""
+        counts = np.bincount(self.raw_indice, minlength=3 * self.n_pathways)
+        return tuple(int(c) for c in counts)
+
     # ------------------------------------------------------------------ #
     # per-fold derivations
     # ------------------------------------------------------------------ #

@@ -125,8 +125,13 @@ class MultilevelGNN(nn.Module):
         )
         return pred, pca_feature
 
-    def gnn_stack(self, x, mask_x, ctx: FoldContext, training: bool):
-        """Shared GNN trunk (reference :184-211). x: (B, NODES, D)."""
+    def gnn_stack(
+        self, x, mask_x, ctx: FoldContext, training: bool,
+        apply_value_mask: bool = True,
+    ):
+        """Shared GNN trunk (reference :184-211). x: (B, NODES, D).
+        apply_value_mask=False for the AE/VAE encoders, which skip the
+        value-attention merge (reference autoencoder.py:97-103)."""
         cfg = self.cfg
         edge_attr = ctx.graph.edge_attr if cfg.weighted_edge else None
         emb_dim = x.shape[-1]
@@ -169,7 +174,7 @@ class MultilevelGNN(nn.Module):
                 x = x * mask_x[..., None]
         if cfg.dense_gnn:
             x = jnp.concatenate(feature_list, axis=-1)
-        if cfg.value_att_mask:
+        if cfg.value_att_mask and apply_value_mask:
             if cfg.merge_mode == "mult":
                 x = x * mask_x[..., None]
             else:  # 'add' and 'cat' are the same op in the reference (:208-211)

@@ -1,0 +1,176 @@
+"""Pretrain -> fine-tune workflow for AE / VAE / VQ-VAE.
+
+The reference implies but does not ship this driver (checkpoint paths at
+opt.py:373-378, partial loads at multilevel_gnn.py:386-394; SURVEY.md §3.4).
+This module provides it as a first-class workflow:
+
+  1. pretrain_autoencoder(): train AE/VAE/VQ-VAE on reconstruction
+     (flatten decoders reconstruct the full node vector batch.x; foreach
+     decoders reconstruct the PCA-row values batch.raw_data).
+  2. transfer_pretrained(): copy intersecting parameter paths (node
+     embedding, GNN stack, learnable PCA) into a fresh MultilevelGNN —
+     the strict=False partial state-dict load of the reference.
+"""
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import flax
+
+from multilevel_gnn_tpu.core.batch import Batch
+from multilevel_gnn_tpu.core.config import Config
+from multilevel_gnn_tpu.data.cohort import Cohort
+from multilevel_gnn_tpu.models.autoencoder import AutoEncoder, reconstruction_loss
+from multilevel_gnn_tpu.models.vae import VAE, vae_loss
+from multilevel_gnn_tpu.models.vq_vae import VQVAE, vqvae_loss
+from multilevel_gnn_tpu.train.driver import iter_batches
+
+log = logging.getLogger(__name__)
+
+
+def _recon_target(batch: Batch, cfg: Config):
+    return batch.x if cfg.decoder_type == "flatten" else batch.raw_data
+
+
+def pretrain_autoencoder(
+    cfg: Config,
+    cohort: Cohort,
+    kind: str = "autoencoder",
+    epochs: int | None = None,
+    fold_i: int = 0,
+):
+    """Train an AE/VAE/VQ-VAE on the cohort; returns (params, model, ctx)."""
+    assert kind in ("autoencoder", "vae", "mmd_vae", "vq_vae")
+    train_idx = np.arange(len(cohort.patients))
+    fold = cohort.fold(train_idx, fold_i)
+    cfg = cfg.replace(
+        pathway_num=cohort.n_pathways,
+        node_num=cohort.num_nodes // 3,
+        slot_sizes=cohort.slot_sizes(),
+    )
+    model = {
+        "autoencoder": AutoEncoder,
+        "vae": VAE,
+        "mmd_vae": VAE,
+        "vq_vae": VQVAE,
+    }[kind](cfg)
+    ctx = fold.ctx
+    epochs = epochs or cfg.epochs
+
+    X, Y, ages = cohort.X, cohort.Y, cohort.ages
+    raw = cohort.raw_datas[
+        [cohort.pca_patients.index(p) for p in cohort.patients]
+    ].astype(np.float32)
+    std_w = jnp.asarray(cohort.gene_std_value)
+
+    def add_raw(b: Batch, idxs) -> Batch:
+        return Batch(
+            x=b.x, y=b.y, age=b.age, sample_mask=b.sample_mask,
+            raw_data=jnp.asarray(raw[idxs]),
+        )
+
+    rng0 = jax.random.PRNGKey(cfg.seed)
+    b0 = next(
+        iter_batches(X, Y, ages, train_idx, cfg.batch_size,
+                     np.random.RandomState(0), False, False)
+    )
+    b0 = add_raw(b0, train_idx[: cfg.batch_size])
+    init_rngs = (
+        {"params": rng0, "sample": rng0}
+        if kind in ("vae", "mmd_vae")
+        else {"params": rng0}
+    )
+    params = model.init(init_rngs, b0, ctx, False)
+    if cfg.init_with_pca and fold.pca_seed is not None:
+        from multilevel_gnn_tpu.models.multilevel_gnn import seed_pca_params
+
+        params = seed_pca_params(params, jnp.asarray(fold.pca_seed))
+
+    tx = optax.adam(cfg.lr, b1=cfg.beta1, b2=cfg.beta2)
+    opt_state = tx.init(params)
+
+    def loss_fn(params, batch, key):
+        target = _recon_target(batch, cfg)
+        if kind == "autoencoder":
+            recon, h = model.apply(params, batch, ctx, True,
+                                   rngs={"dropout": key})
+            loss = reconstruction_loss(
+                recon, target, cfg,
+                std_w if cfg.std_weight and cfg.decoder_type != "flatten" else None,
+            )
+            aux = {"recon": loss}
+            if cfg.pretrain_std_loss:
+                std = jnp.std(
+                    h.reshape(h.shape[0], -1), axis=0, ddof=1
+                )
+                loss = loss - cfg.pretrain_std_coef * jnp.log(std.mean())
+            return loss, aux
+        if kind in ("vae", "mmd_vae"):
+            out = model.apply(
+                params, batch, ctx, True,
+                rngs={"dropout": key, "sample": key},
+            )
+            d = vae_loss(out["pred_x"], target, out["z"], out["mu"],
+                         out["sigma"], cfg, key)
+            loss = d["loss"]
+            if cfg.pretrain_std_loss:
+                loss = loss + cfg.pretrain_std_coef * out["aux_losses"]["std"]
+            if cfg.pretrain_corr_loss:
+                loss = loss + cfg.pretrain_corr_coef * out["aux_losses"]["corr"]
+            return loss, d
+        out = model.apply(params, batch, ctx, True, rngs={"dropout": key})
+        d = vqvae_loss(out["pred_x"], target, out["vq_loss"], cfg)
+        return d["loss"], d
+
+    @jax.jit
+    def step(params, opt_state, batch, key):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, key
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    np_rng = np.random.RandomState(cfg.seed)
+    step_i = 0
+    for epoch in range(1, epochs + 1):
+        losses = []
+        order = np_rng.permutation(len(train_idx))
+        for s in range(0, len(order) - cfg.batch_size + 1, cfg.batch_size):
+            idxs = train_idx[order[s : s + cfg.batch_size]]
+            b = Batch(
+                x=jnp.asarray(X[idxs]),
+                y=jnp.asarray(Y[idxs]),
+                age=jnp.asarray(ages[idxs]),
+                sample_mask=jnp.ones(len(idxs), bool),
+                raw_data=jnp.asarray(raw[idxs]),
+            )
+            key = jax.random.fold_in(rng0, step_i)
+            params, opt_state, loss = step(params, opt_state, b, key)
+            losses.append(float(loss))
+            step_i += 1
+        log.info("pretrain %s epoch %d loss %.5f", kind, epoch,
+                 float(np.mean(losses)))
+    return params, model, ctx, fold
+
+
+def transfer_pretrained(pre_params: Dict, target_params: Dict) -> Dict:
+    """Copy intersecting parameter paths (matching shapes) from pretrained
+    AE/VAE params into the target model params — the reference's
+    strict=False partial load (multilevel_gnn.py:386-394)."""
+    src = flax.traverse_util.flatten_dict(pre_params)
+    dst = flax.traverse_util.flatten_dict(target_params)
+    copied = 0
+    for path in dst:
+        if path in src and src[path].shape == dst[path].shape:
+            dst[path] = src[path]
+            copied += 1
+    log.info("transferred %d/%d parameter leaves", copied, len(dst))
+    return flax.traverse_util.unflatten_dict(dst)
