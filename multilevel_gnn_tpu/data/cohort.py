@@ -34,6 +34,7 @@ import dataclasses
 import logging
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 from sklearn.decomposition import PCA
@@ -458,6 +459,15 @@ class Cohort:
             return False
         ed = df[cols].reindex(train_patients).to_numpy()
         rs = cfg.random_state if cfg.freeze_mutual_select_init else None
+        y_arr = np.asarray(y, float)[:, None]
+        if cfg.knn_mutual_info and oi != 1:
+            # KSG estimator path (reference :838-839, 853-854, 863-864)
+            from multilevel_gnn_tpu.utils.knnie import kraskov_mi
+
+            pmi = kraskov_mi(ed, y_arr)
+            smi = kraskov_mi(ed[:, :1], y_arr)
+            dmi = kraskov_mi(ed[:, 1:], y_arr)
+            return pmi > cfg.edge_select_threshold * max(smi, dmi)
         pca = PCA(n_components=1).fit(ed)
         pd1 = pca.transform(ed)
         fn = mutual_info_classif if cfg.mutual_classif else mutual_info_regression
@@ -528,6 +538,124 @@ class Cohort:
             np.array(attrs, np.float32),
             intra,
         )
+
+    # ------------------------------------------------------------------ #
+    # gene-level graph variants (DeeperGCN / MultiOmixGCN)
+    # ------------------------------------------------------------------ #
+    def gene_level_features(self) -> np.ndarray:
+        """(n_patients, node_size + P, 3) per-gene omics features — the
+        DeeperGCN input layout (reference predefine_data x rows)."""
+        return self.X.reshape(len(self.patients), -1, 3)
+
+    def gene_level_graph(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Gene-index edges (both directions, reference predefine_data
+        :975-984) + pathway-vnode edges with one-hot ids (:985-1021).
+
+        Returns (edge_index (2, E), edge_attr (E, 2)) where attr col 0 is
+        the float weight and col 1 the one-hot edge id (pathway edges;
+        gene edges keep int(attr) like the reference's .to(long) cast)."""
+        cfg = self.cfg
+        nm = self.node_map
+        edges, attrs = [], []
+        for src, lst in self.edges.items():
+            for (s, d), a in zip(lst, self.edge_attrs[src]):
+                if s in nm and d in nm:
+                    edges.append([nm[s], nm[d]])
+                    attrs.append([a, float(int(a))])
+                    edges.append([nm[d], nm[s]])
+                    attrs.append([a, float(int(a))])
+        onehot_count = 0
+        n_genes = self.node_size
+        if cfg.pathway_global_node:
+            for pi, pathway in enumerate(self.used_pathways):
+                entrez = self.kegg[
+                    self.kegg["PathwayID"] == pathway
+                ].Entrezid.unique()
+                for e in np.intersect1d(entrez.astype(int), list(nm)):
+                    edges.append([nm[int(e)], n_genes + pi])
+                    attrs.append([float(onehot_count), float(onehot_count)])
+                    if cfg.bi_global_node:
+                        edges.append([n_genes + pi, nm[int(e)]])
+                        attrs.append([float(onehot_count), float(onehot_count)])
+                    onehot_count += 1
+        self.pathway_edge_num = onehot_count
+        return (
+            np.array(edges, np.int32).T,
+            np.array(attrs, np.float32),
+        )
+
+    def deepergcn_fold(self, train_idx: np.ndarray, fold_i: int) -> FoldData:
+        """Fold data for DeeperGCN: gene-level topology + pathway-vnode
+        edges + per-pathway PCA node attrs (in batch.raw_data)."""
+        mask, mi = self.mutual_mask(train_idx, fold_i)
+        _, attr, _ = self._pathway_pca(mask if self.cfg.mutual_info_pca else None)
+        ei, ea = self.gene_level_graph()
+        graph = Graph.from_edges(ei, ea, self.node_size + self.n_pathways)
+        graph = graph.with_sorted_meta()
+        ctx = make_fold_context(
+            graph,
+            self.gene_pca_match,
+            self.raw_indice,
+            mask,
+            n_pathways=self.n_pathways,
+        )
+        return FoldData(
+            ctx=ctx,
+            info_mask=mask,
+            mutual_info=mi,
+            pca_seed=np.zeros((self.num_pca_rows, self.cfg.pca_dim), np.float32),
+            class_weight=self.class_weight(train_idx),
+            pathway_node_attr=attr[
+                [self.pca_patients.index(p) for p in self.patients]
+            ],
+            edge_count=graph.n_edges,
+        )
+
+    def multiomix_vnode_data(self, fold: FoldData):
+        """Per-omics pathway-edge graphs + masks + 2-dim pathway attrs for
+        MultiOmixGCN (the data the reference's absent multiomix driver
+        would supply as pathway_{omix}_edges / _node_attr)."""
+        from multilevel_gnn_tpu.core.batch import FoldContext as _FC
+
+        nm = self.node_map
+        n_genes = self.node_size
+        N = n_genes + self.n_pathways
+        graphs, masks, attrs = {}, {}, {}
+        omix_key = {"mrna": 0, "cnv": 1, "mt": 2}
+        pn = fold.pathway_node_attr  # (n, P, 3*pca_dim)
+        for name, oi in omix_key.items():
+            edges, eattrs = [], []
+            for pi, pathway in enumerate(self.used_pathways):
+                entrez = self.kegg[
+                    self.kegg["PathwayID"] == pathway
+                ].Entrezid.unique()
+                cols = self._pathway_columns(pathway, OMICS[oi])
+                for c in cols:
+                    e = int(c)
+                    if e in nm:
+                        edges.append([nm[e], n_genes + pi])
+                        eattrs.append(
+                            pn[0, pi, oi * self.cfg.pca_dim : oi * self.cfg.pca_dim + 2]
+                        )
+            if edges:
+                g = Graph.from_edges(
+                    np.array(edges, np.int32).T,
+                    np.array(eattrs, np.float32),
+                    N,
+                ).with_sorted_meta()
+            else:
+                g = Graph.from_edges(np.zeros((2, 0)), None, N, pad_to=128)
+            m = np.zeros((N, 1), np.float32)
+            if edges:
+                m[np.array(edges)[:, 1]] = 1.0
+            graphs[name] = g
+            masks[name] = jnp.asarray(m)
+            attrs[name] = jnp.asarray(
+                pn[:, :, oi * self.cfg.pca_dim : oi * self.cfg.pca_dim + 2].astype(
+                    np.float32
+                )
+            )
+        return graphs, masks, attrs
 
     def class_weight(self, train_idx: np.ndarray) -> np.ndarray:
         """(max_count/count)^weight_power per class (reference :321-326)."""

@@ -1,0 +1,82 @@
+"""Aux subsystems: checkpoint/resume, KM survival + log-rank, KSG MI,
+profiling hooks (SURVEY.md §5)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multilevel_gnn_tpu.train.checkpoint import (
+    latest_step,
+    load_checkpoint,
+    save_checkpoint,
+)
+from multilevel_gnn_tpu.utils.knnie import kraskov_mi
+from multilevel_gnn_tpu.utils.profiling import MetricStream, StepTimer
+from multilevel_gnn_tpu.utils.survival import km_curve, logrank_test, pathway_km_screen
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {"a": jnp.arange(6.0).reshape(2, 3), "b": {"c": jnp.ones(4)}}
+    opt = {"m": jnp.zeros(3)}
+    p = str(tmp_path / "ck")
+    save_checkpoint(p, params, opt, loop_state={"run": 1, "fold": 2, "epoch": 7},
+                    step=3)
+    save_checkpoint(p, params, opt, step=10)
+    assert latest_step(p) == 10
+    like = {"params": params, "opt_state": opt}
+    tree, loop = load_checkpoint(p, like, step=3)
+    np.testing.assert_array_equal(np.asarray(tree["params"]["a"]),
+                                  np.asarray(params["a"]))
+    assert loop == {"run": 1, "fold": 2, "epoch": 7}
+
+
+def test_km_and_logrank(rng):
+    # clearly separated groups -> significant log-rank
+    ta = rng.exponential(10, 100)
+    tb = rng.exponential(40, 100)
+    ea = np.ones(100, int)
+    eb = np.ones(100, int)
+    t, s = km_curve(ta, ea)
+    assert np.all(np.diff(s) <= 1e-12)  # monotone nonincreasing
+    chi2, p = logrank_test(ta, ea, tb, eb)
+    assert p < 1e-6
+    # identical groups -> not significant
+    chi2, p2 = logrank_test(ta, ea, ta, ea)
+    assert p2 > 0.9
+
+
+def test_pathway_km_screen(rng):
+    n, P = 80, 5
+    times = rng.exponential(20, n)
+    events = np.ones(n, int)
+    scores = rng.randn(n, P)
+    scores[:, 2] = -times + rng.randn(n)  # informative pathway
+    rows = pathway_km_screen(scores, times, events, [f"p{i}" for i in range(P)])
+    assert rows[0]["pathway"] == "p2"
+    assert rows[0]["p"] < 0.05
+
+
+def test_kraskov_mi(rng):
+    n = 300
+    x = rng.randn(n, 1)
+    y_dep = x + 0.1 * rng.randn(n, 1)
+    y_ind = rng.randn(n, 1)
+    mi_dep = kraskov_mi(x, y_dep)
+    mi_ind = kraskov_mi(x, y_ind)
+    assert mi_dep > 1.0
+    assert mi_ind < 0.2
+
+
+def test_step_timer_and_metric_stream(tmp_path):
+    t = StepTimer(edges_per_step=1000, batch_per_step=4)
+    for _ in range(3):
+        with t.step() as out:
+            out["result"] = jnp.ones(10).sum()
+    assert t.mean_s > 0
+    assert t.edges_per_s > 0
+    ms = MetricStream(str(tmp_path / "m.jsonl"))
+    ms.log(epoch=1, auc=0.7)
+    ms.close()
+    import json
+
+    row = json.loads(open(tmp_path / "m.jsonl").read().strip())
+    assert row["auc"] == 0.7 and "ts" in row

@@ -1,0 +1,106 @@
+"""DeeperGCN + MultiOmixGCN model tests on the gene-level graph variants."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multilevel_gnn_tpu.core.batch import Batch
+from multilevel_gnn_tpu.models.deepergcn import DeeperGCN
+from multilevel_gnn_tpu.models.multiomix import MultiOmixGCN, VnodeContext
+
+from test_data_pipeline import gbm_like_cfg
+from multilevel_gnn_tpu.data.synthetic import make_synthetic_cohort
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = gbm_like_cfg(
+        model="deepergcn",
+        conv="gen",
+        gcn_aggr="softmax",
+        block="res+",
+        num_layers=3,
+        hidden_channels=16,
+        mlp_layers=2,
+        norm="layer",
+        node_embedding=True,
+        node_embedding_dim=4,
+        use_edge_attr=True,
+        global_edge="onehot",
+        pathway_readout="maxpool",
+        graph_pooling="mean",
+        num_layer_head=2,
+        pre_concat_age=True,
+        dropout=0.25,
+        learn_t=True,
+    )
+    cohort = make_synthetic_cohort(cfg, seed=0, n_patients=30, n_pathways=8)
+    cfg = cfg.replace(
+        pathway_num=cohort.n_pathways,
+        node_num=cohort.node_size + cohort.n_pathways,
+    )
+    fold = cohort.deepergcn_fold(np.arange(18), 0)
+    cfg = cfg.replace(pathway_edge_num=max(cohort.pathway_edge_num, 1))
+    Xg = cohort.gene_level_features()
+    B = 4
+    batch = Batch(
+        x=jnp.asarray(Xg[:B]),
+        y=jnp.asarray(cohort.Y[:B]),
+        age=jnp.asarray(cohort.ages[:B]),
+        sample_mask=jnp.ones(B, bool),
+        raw_data=jnp.asarray(fold.pathway_node_attr[:B].astype(np.float32)),
+    )
+    return cfg, cohort, fold, batch
+
+
+def test_deepergcn_forward_blocks(setup):
+    cfg, cohort, fold, batch = setup
+    for block in ("res+", "res", "plain"):
+        m = DeeperGCN(cfg.replace(block=block))
+        params = m.init(jax.random.PRNGKey(0), batch, fold.ctx, False)
+        pred, _ = m.apply(params, batch, fold.ctx, False)
+        assert pred.shape == (4, 2)
+        np.testing.assert_allclose(
+            np.asarray(pred.sum(-1)), np.ones(4), rtol=1e-5
+        )
+    # learnable t present in every GENConv
+    flat_keys = str(jax.tree_util.tree_structure(params))
+    assert "aggregate" in flat_keys
+
+
+def test_deepergcn_msa_readout(setup):
+    cfg, cohort, fold, batch = setup
+    m = DeeperGCN(cfg.replace(pathway_readout="MSA"))
+    params = m.init(jax.random.PRNGKey(1), batch, fold.ctx, False)
+    pred, _ = m.apply(params, batch, fold.ctx, False)
+    assert pred.shape == (4, 2)
+    assert bool(jnp.isfinite(pred).all())
+
+
+def test_deepergcn_grad(setup):
+    cfg, cohort, fold, batch = setup
+    m = DeeperGCN(cfg)
+    params = m.init(jax.random.PRNGKey(0), batch, fold.ctx, False)
+
+    def loss(p):
+        pred, _ = m.apply(
+            p, batch, fold.ctx, True, rngs={"dropout": jax.random.PRNGKey(2)}
+        )
+        return -jnp.log(jnp.clip(pred[:, 0], 1e-6)).mean()
+
+    g = jax.grad(loss)(params)
+    gn = jax.tree_util.tree_reduce(lambda a, b: a + jnp.sum(b**2), g, 0.0)
+    assert np.isfinite(float(gn)) and float(gn) > 0
+
+
+def test_multiomix_forward(setup):
+    cfg, cohort, fold, batch = setup
+    graphs, masks, attrs = cohort.multiomix_vnode_data(fold)
+    vctx = VnodeContext(base=fold.ctx, pathway_graphs=graphs, pathway_masks=masks)
+    m = MultiOmixGCN(cfg)
+    params = m.init(jax.random.PRNGKey(0), batch, vctx,
+                    {k: v[:4] for k, v in attrs.items()}, False)
+    pred, _ = m.apply(params, batch, vctx,
+                      {k: v[:4] for k, v in attrs.items()}, False)
+    assert pred.shape == (4, 2)
+    np.testing.assert_allclose(np.asarray(pred.sum(-1)), np.ones(4), rtol=1e-5)
