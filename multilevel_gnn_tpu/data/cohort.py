@@ -311,6 +311,22 @@ class Cohort:
         cfg = self.cfg
         if fold in self._mask_cache:
             return self._mask_cache[fold]
+        disk = None
+        if cfg.use_cache:
+            from multilevel_gnn_tpu.data.cache import PreprocessCache, content_key
+
+            disk = PreprocessCache("./data_cache")
+            key = content_key(
+                "mi_mask", cfg.cancer_type,
+                tuple(self.patients[i] for i in train_idx),
+                cfg.mutual_neighbors, cfg.mutual_classif,
+                cfg.random_state if cfg.freeze_mutual_select_init else None,
+                cfg.node_select_threshold, cfg.mutual_info_threshold,
+            )
+            hit = disk.get(key)
+            if hit is not None:
+                self._mask_cache[fold] = hit
+                return hit
         pos = [self.pca_patients.index(self.patients[i]) for i in train_idx]
         x = self.raw_datas[pos]
         y = self.labels()[train_idx]
@@ -326,6 +342,8 @@ class Cohort:
         if cfg.remain_all_tf:
             mask = np.maximum(mask, self.tf_token.astype(np.float32)[:, None])
         self._mask_cache[fold] = (mask, mi)
+        if disk is not None:
+            disk.put(key, (mask, mi))
         return mask, mi
 
     def _pathway_pca(self, info_mask: Optional[np.ndarray]):

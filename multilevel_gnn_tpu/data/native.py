@@ -44,3 +44,26 @@ def parse_edge_tsv(path: str) -> Tuple[List[str], List[str], List[float]]:
     finally:
         lib.free_edges(h)
     return srcs, dsts, vals
+
+
+def fill_node_features(values, col_slot, n_slots: int):
+    """C++ scatter of (patients x cols) values into node-slot features —
+    the hot loop of reference predefine_data (multiloader.py:949-971)."""
+    import numpy as np
+
+    lib = _lib()
+    lib.fill_node_features.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    values = np.ascontiguousarray(values, np.float32)
+    col_slot = np.ascontiguousarray(col_slot, np.int64)
+    n_p, n_c = values.shape
+    out = np.zeros((n_p, n_slots), np.float32)
+    lib.fill_node_features(
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_p, n_c,
+        col_slot.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), n_slots,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out

@@ -245,8 +245,46 @@ class MultilevelGNN(nn.Module):
             h = nn.Dropout(cfg.input_emb_drop, deterministic=not training)(h)
         h = self.gnn_stack(h, mask_x, ctx, training)
         xg = self.gather_pca_rows(h, ctx)
-        image, _ = self.learnable_pca_image(xg, ctx)
+        if cfg.reduction_method == "linear_projection":
+            image, _ = self.learnable_pca_image(xg, ctx)
+        else:
+            image = self.runtime_pca_image(xg, ctx)
         return image, image
+
+    def runtime_pca_image(self, xg, ctx: FoldContext):
+        """On-device per-slot PCA reduction (reference :243-256,
+        reduction_method 'pca_svd' / 'pca_lowrank').  Slot extents come from
+        the static cfg.slot_sizes."""
+        from multilevel_gnn_tpu.ops.pca import pca_lowrank, pca_svd
+
+        cfg = self.cfg
+        assert cfg.slot_sizes is not None, (
+            "runtime PCA reduction needs cfg.slot_sizes "
+            "(set from Cohort.slot_sizes())"
+        )
+        x = jnp.transpose(xg, (2, 0, 1))  # (C, B, G) — reference permute
+        outs = []
+        start = 0
+        for ns in cfg.slot_sizes:
+            sl = x[:, :, start : start + ns]
+            start += ns
+            if ns == 0:
+                outs.append(jnp.zeros(x.shape[:2] + (cfg.pca_dim,), x.dtype))
+                continue
+            if cfg.reduction_method == "pca_lowrank":
+                k = min(cfg.pca_dim, ns)
+                red = pca_lowrank(sl, k, niter=cfg.pca_lowrank_niter)
+            else:
+                k = min(cfg.pca_dim, ns)
+                red = pca_svd(sl, k, center=False)
+            if k < cfg.pca_dim:
+                red = jnp.pad(red, ((0, 0), (0, 0), (0, cfg.pca_dim - k)))
+            outs.append(red)
+        stacked = jnp.stack(outs)  # (S, C, B, K)
+        out = jnp.transpose(stacked, (2, 1, 0, 3))  # (B, C, S, K)
+        return out.reshape(
+            out.shape[0], out.shape[1], cfg.pathway_num, 3 * cfg.pca_dim
+        )
 
 
 def get_feature_loss(

@@ -417,6 +417,19 @@ class EdgeConv(nn.Module):
         )
 
 
+def dynamic_graph(senders, receivers, n_nodes: int) -> Graph:
+    """Build a Graph from traced (in-jit) knn edges — receivers from
+    ops.knn.knn_graph are already destination-sorted."""
+    return Graph(
+        senders=senders.astype(jnp.int32),
+        receivers=receivers.astype(jnp.int32),
+        edge_attr=None,
+        edge_mask=jnp.ones(senders.shape, bool),
+        n_nodes=n_nodes,
+        n_edges=int(senders.shape[-1]),
+    )
+
+
 class GraphConvLayer(nn.Module):
     """Static graph conv dispatcher (reference torch_vertex.py:338-363).
 

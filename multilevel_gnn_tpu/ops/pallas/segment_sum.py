@@ -119,32 +119,57 @@ class SortedSegments:
         )
 
 
-def _kernel(chunk_first_ref, n_chunks_ref, ids_ref, data_ref, out_ref):
-    c = pl.program_id(3)
-    n = pl.program_id(0)
+def _make_kernel(cache_onehot: bool):
+    def kernel(chunk_first_ref, n_chunks_ref, ids_ref, data_ref, out_ref,
+               *scratch):
+        c = pl.program_id(3)
+        n = pl.program_id(0)
+        f = pl.program_id(1)
+        b = pl.program_id(2)
 
-    @pl.when(c == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        @pl.when(c == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(c < n_chunks_ref[n])
-    def _():
-        tn = out_ref.shape[0]
-        sub, lane = ids_ref.shape[1], ids_ref.shape[2]
-        te = sub * lane
-        base = n * tn
-        ids = ids_ref[0]  # (te/128, 128)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tn, sub, lane), 0) + base
-        onehot = (ids[None] == rows).astype(jnp.float32).reshape(tn, te)
-        # 'ne,bec->nbc' on the MXU; HIGHEST keeps f32 data exact (the
-        # default bf16 passes round the data mantissa)
-        out_ref[:] += jax.lax.dot_general(
-            onehot,
-            data_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        @pl.when(c < n_chunks_ref[n])
+        def _():
+            tn = out_ref.shape[0]
+            sub, lane = ids_ref.shape[1], ids_ref.shape[2]
+            te = sub * lane
+            base = n * tn
+
+            def build():
+                ids = ids_ref[0]  # (te/128, 128)
+                rows = (
+                    jax.lax.broadcasted_iota(jnp.int32, (tn, sub, lane), 0)
+                    + base
+                )
+                return (ids[None] == rows).astype(jnp.float32).reshape(tn, te)
+
+            if cache_onehot:
+                # the one-hot depends only on (n, c); build it on the first
+                # (f, b) pass of each tile and reuse from VMEM scratch —
+                # the build otherwise dominates kernel time
+                oh_ref = scratch[0]
+
+                @pl.when((f == 0) & (b == 0))
+                def _():
+                    oh_ref[c] = build()
+
+                onehot = oh_ref[c]
+            else:
+                onehot = build()
+            # 'ne,bec->nbc' on the MXU; HIGHEST keeps f32 data exact (the
+            # default bf16 passes round the data mantissa)
+            out_ref[:] += jax.lax.dot_general(
+                onehot,
+                data_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+    return kernel
 
 
 def sorted_segment_sum(
@@ -186,8 +211,18 @@ def sorted_segment_sum(
     def data_map(n, f, b, c, chunk_first, n_chunks):
         return (b, jnp.minimum(chunk_first[n] + c, n_chunks_total), f)
 
+    # cache the per-(tile, chunk) one-hot in VMEM when it fits and there is
+    # reuse across feature/batch tiles
+    n_fb = (C_pad // tc) * (B_pad // tb)
+    cache_bytes = seg.max_chunks * seg.tn * seg.te * 4
+    cache_onehot = n_fb > 1 and cache_bytes <= 6 * 1024 * 1024
+    scratch_shapes = (
+        [pltpu.VMEM((seg.max_chunks, seg.tn, seg.te), jnp.float32)]
+        if cache_onehot
+        else []
+    )
     out = pl.pallas_call(
-        _kernel,
+        _make_kernel(cache_onehot),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
@@ -198,6 +233,7 @@ def sorted_segment_sum(
             out_specs=pl.BlockSpec(
                 (seg.tn, tb, tc), lambda n, f, b, c, cf, nc: (n, b, f)
             ),
+            scratch_shapes=scratch_shapes,
         ),
         out_shape=jax.ShapeDtypeStruct((N_pad, B_pad, C_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(

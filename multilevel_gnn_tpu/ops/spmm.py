@@ -63,27 +63,49 @@ def _float0_zeros(tree):
     return jax.tree.map(z, tree)
 
 
+def _to_2d(x):
+    """(B, N, C) -> (N, B*C) so edge gathers read contiguous wide rows
+    (measured ~4x faster than gathering on the middle axis of (B, N, C));
+    (N, C) passes through."""
+    if x.ndim == 2:
+        return x, None
+    B, N, C = x.shape
+    return jnp.transpose(x, (1, 0, 2)).reshape(N, B * C), (B, C)
+
+def _from_2d(y, bc):
+    if bc is None:
+        return y
+    B, C = bc
+    return jnp.transpose(y.reshape(y.shape[0], B, C), (1, 0, 2))
+
+
 @jax.custom_vjp
 def _fused_spmm_sum(x, w, senders, receivers, csr, csc):
     """out[.., n, c] = sum_{e: recv[e]=n} x[.., send[e], c] * w[e, 0].
 
-    Forward: XLA gather + Pallas sorted-segment-sum (receivers pre-sorted).
-    Backward: d_x via gather of d_out at receivers + Pallas segment-sum over
-    the sender-sorted permutation.  w is non-differentiable (zero cotangent).
+    Forward: 2D-layout XLA gather + Pallas sorted-segment-sum (receivers
+    pre-sorted).  Backward: d_x via gather of d_out at receivers + Pallas
+    segment-sum over the sender-sorted permutation.  No XLA scatter in
+    either direction.  w is non-differentiable (zero cotangent) — edge
+    weights are data in every reference model.
     """
-    msg = gather(x, senders) * w
-    return sorted_segment_sum(msg, csr)
+    x2, bc = _to_2d(x)
+    msg = jnp.take(x2, senders, axis=0) * w  # w: (E, 1) broadcasts over B*C
+    out2 = sorted_segment_sum(msg, csr, tc=512)
+    return _from_2d(out2, bc)
 
 
 def _fused_fwd(x, w, senders, receivers, csr, csc):
     out = _fused_spmm_sum(x, w, senders, receivers, csr, csc)
-    return out, (w, receivers, csr, csc)
+    return out, (w, receivers, csr, csc, x.ndim)
 
 
 def _fused_bwd(res, d_out):
-    w, receivers, csr, csc = res
-    g = gather(d_out, receivers) * w
-    d_x = segment_sum_by(g, csc)
+    w, receivers, csr, csc, ndim = res
+    g2, bc = _to_2d(d_out)
+    g = jnp.take(g2, receivers, axis=0) * w
+    d_x2 = segment_sum_by(g, csc, tc=512)
+    d_x = _from_2d(d_x2, bc)
     return (
         d_x,
         jnp.zeros_like(w),
@@ -142,6 +164,8 @@ def gather_scatter(
         backend == "pallas"
         and graph.csr is not None
         and reduce in ("sum", "add", "mean")
+        and (edge_weight is None or edge_weight.ndim == 1
+             or edge_weight.shape[-1] == 1)
     ):
         w = edge_weight
         if w is None:

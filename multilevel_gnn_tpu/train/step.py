@@ -55,7 +55,31 @@ def classification_loss(
     return (el * m).sum() / denom
 
 
-def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+def smooth_cross_entropy(
+    logits_or_probs: jax.Array,
+    target_idx: jax.Array,
+    smoothing: float = 0.1,
+    from_probs: bool = True,
+) -> jax.Array:
+    """Label-smoothing CE (reference utils/loss.py:5-24 SmoothCrossEntropy):
+    target = one_hot*(1-s) + s/num_classes."""
+    n = logits_or_probs.shape[-1]
+    logp = (
+        jnp.clip(jnp.log(logits_or_probs), -100.0, None)
+        if from_probs
+        else jax.nn.log_softmax(logits_or_probs)
+    )
+    t = jax.nn.one_hot(target_idx, n) * (1.0 - smoothing) + smoothing / n
+    return -(t * logp).sum(-1).mean()
+
+
+def make_optimizer(
+    cfg: Config, steps_per_epoch: int, name: Optional[str] = None
+) -> optax.GradientTransformation:
+    """Adam (+StepLR) by default — the combination the reference actually
+    trains with (train.py:112-114).  The reference's custom optimizer zoo
+    (utils/optim.py RAdam / PlainRAdam / AdamW-with-warmup) is exposed via
+    name='radam' / 'adamw'; warmup per opt.py:379-380 flags."""
     if cfg.step > 0:
         lr = optax.exponential_decay(
             cfg.lr,
@@ -65,14 +89,29 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
         )
     else:
         lr = cfg.lr
+    if cfg.warmup_epochs > 0:
+        warm = optax.linear_schedule(
+            cfg.warmup_lr, cfg.lr, cfg.warmup_epochs * steps_per_epoch
+        )
+        base = lr if cfg.step > 0 else optax.constant_schedule(cfg.lr)
+        lr = optax.join_schedules(
+            [warm, base if callable(base) else optax.constant_schedule(base)],
+            [cfg.warmup_epochs * steps_per_epoch],
+        )
     chain = []
     if cfg.clip_grad:
         chain.append(optax.clip_by_global_norm(20.0))
-    chain.append(
-        optax.adamw(lr, b1=cfg.beta1, b2=cfg.beta2, weight_decay=cfg.wd)
-        if cfg.wd > 0
-        else optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2)
-    )
+    name = name or "adam"
+    if name == "radam":
+        chain.append(optax.radam(lr, b1=cfg.beta1, b2=cfg.beta2))
+        if cfg.wd > 0:
+            chain.append(optax.add_decayed_weights(cfg.wd))
+    elif name == "adamw" or (name == "adam" and cfg.wd > 0):
+        chain.append(
+            optax.adamw(lr, b1=cfg.beta1, b2=cfg.beta2, weight_decay=cfg.wd)
+        )
+    else:
+        chain.append(optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2))
     return optax.chain(*chain)
 
 
