@@ -67,6 +67,9 @@ class FoldContext:
     # SortedSegments over gene_pca_match (resolved to node slots) — enables
     # the scatter-free Pallas backward of the gene->PCA-row gather
     pca_gather_seg: Optional[object] = None
+    # second topology for edge_type='merge' (reference multilevel_gnn.py
+    # :156-182 edge-list mode: PPI + GRN graphs, features concatenated)
+    graph2: Optional[Graph] = None
 
     @property
     def num_pca_rows(self) -> int:

@@ -109,6 +109,12 @@ class Cohort:
         mt = omics["methylation"].copy()
         if cfg.zscore_mrna:
             mrna = (mrna - mrna.mean()) / mrna.std()
+        if cfg.add_hat:
+            # winsorize mrna at the add_hat_percent quantile both sides
+            # (reference :115-119, 895-904)
+            hi = mrna.quantile(cfg.add_hat_percent)
+            lo = mrna.quantile(1.0 - cfg.add_hat_percent)
+            mrna = mrna.clip(lower=lo, upper=hi, axis=1)
         if cfg.reverse_mt:
             mt = -mt
 
@@ -561,9 +567,16 @@ class Cohort:
     # gene-level graph variants (DeeperGCN / MultiOmixGCN)
     # ------------------------------------------------------------------ #
     def gene_level_features(self) -> np.ndarray:
-        """(n_patients, node_size + P, 3) per-gene omics features — the
-        DeeperGCN input layout (reference predefine_data x rows)."""
-        return self.X.reshape(len(self.patients), -1, 3)
+        """(n_patients, node_size + P, 3 [+2]) per-gene omics features — the
+        DeeperGCN input layout (reference predefine_data x rows); with
+        cfg.mul_attr, appends mrna*cnv and mrna*mt products (:966-967)."""
+        x = self.X.reshape(len(self.patients), -1, 3)
+        if self.cfg.mul_attr:
+            prods = np.stack(
+                [x[..., 0] * x[..., 1], x[..., 0] * x[..., 2]], axis=-1
+            )
+            x = np.concatenate([x, prods], axis=-1)
+        return x
 
     def gene_level_graph(self) -> Tuple[np.ndarray, np.ndarray]:
         """Gene-index edges (both directions, reference predefine_data

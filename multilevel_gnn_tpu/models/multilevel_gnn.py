@@ -19,6 +19,7 @@ Everything is batched over patients with a single shared fold topology
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Tuple
 
 import jax
@@ -75,6 +76,15 @@ class ConvHead(nn.Module):
     @nn.compact
     def __call__(self, x, age, training: bool = False):
         cfg = self.cfg
+        if cfg.pca_prelinear:
+            # small MLP on the 3K feature dim before the conv stack
+            # (reference :85-92, :259-260)
+            d = x.shape[-1]
+            z = Linear(32, kernel_init=xavier_uniform, name="pre_0")(x)
+            z = jax.nn.relu(z)
+            z = Linear(32, kernel_init=xavier_uniform, name="pre_1")(z)
+            z = jax.nn.relu(z)
+            x = Linear(d, kernel_init=xavier_uniform, name="pre_2")(z)
         h = jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC
         for out_ch, k in zip(cfg.conv_channel_list, cfg.conv_kernel_list):
             h = nn.Conv(
@@ -127,7 +137,7 @@ class MultilevelGNN(nn.Module):
 
     def gnn_stack(
         self, x, mask_x, ctx: FoldContext, training: bool,
-        apply_value_mask: bool = True,
+        apply_value_mask: bool = True, suffix: str = "",
     ):
         """Shared GNN trunk (reference :184-211). x: (B, NODES, D).
         apply_value_mask=False for the AE/VAE encoders, which skip the
@@ -155,7 +165,7 @@ class MultilevelGNN(nn.Module):
                 heads=cfg.final_head if i == n_layers - 1 else 8,
                 mlp_norm=cfg.gnn_mlp_norm,
                 drop=cfg.gnn_dropout,
-                name=f"gnn_{i}",
+                name=f"gnn_{i}{suffix}",
             )
             if cfg.dense_gnn:
                 x = layer(x, ctx.graph, edge_attr, training)
@@ -243,7 +253,16 @@ class MultilevelGNN(nn.Module):
             h = x[..., None]
         if cfg.input_emb_drop is not None:
             h = nn.Dropout(cfg.input_emb_drop, deterministic=not training)(h)
-        h = self.gnn_stack(h, mask_x, ctx, training)
+        if cfg.edge_type == "merge" and ctx.graph2 is not None:
+            # edge-list mode (reference :170-182): run the stack once per
+            # graph and concatenate features (head width doubles via the
+            # cfg.final_channels *= 2 adjustment at model build)
+            h1 = self.gnn_stack(h, mask_x, ctx, training, suffix="")
+            ctx2 = dataclasses.replace(ctx, graph=ctx.graph2)
+            h2 = self.gnn_stack(h, mask_x, ctx2, training, suffix="_g2")
+            h = jnp.concatenate([h1, h2], axis=-1)
+        else:
+            h = self.gnn_stack(h, mask_x, ctx, training)
         xg = self.gather_pca_rows(h, ctx)
         if cfg.reduction_method == "linear_projection":
             image, _ = self.learnable_pca_image(xg, ctx)

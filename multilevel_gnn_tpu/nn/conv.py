@@ -138,6 +138,7 @@ class GENConv(nn.Module):
     mlp_layers: int = 2
     eps: float = 1e-7
     pca_only: bool = False
+    gnn_encoder: str = "linear"  # 'linear' MLP | 'conv1x1' Linear+ReLU
 
     def _feature_encoder_channels(self):
         chans = [self.in_dim]
@@ -148,12 +149,20 @@ class GENConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph: Graph, edge_attr=None, training: bool = False):
-        encoder = MLP(
-            self._feature_encoder_channels(),
-            norm_type=self.norm_type,
-            last_lin=True,
-            name="feature_encoder",
-        )
+        if self.gnn_encoder == "conv1x1":
+            # Conv1d(in, emb, 1) + ReLU == per-node Linear + ReLU
+            # (reference torch_vertex.py:46-50)
+            enc = Linear(self.emb_dim, name="feature_encoder")
+
+            def encoder(h, _training):
+                return jax.nn.relu(enc(h))
+        else:
+            encoder = MLP(
+                self._feature_encoder_channels(),
+                norm_type=self.norm_type,
+                last_lin=True,
+                name="feature_encoder",
+            )
         if self.pca_only:
             return encoder(x, training)
         if self.encode_edge and edge_attr is not None:

@@ -212,10 +212,18 @@ def sorted_segment_sum(
         return (b, jnp.minimum(chunk_first[n] + c, n_chunks_total), f)
 
     # cache the per-(tile, chunk) one-hot in VMEM when it fits and there is
-    # reuse across feature/batch tiles
+    # reuse across feature/batch tiles.  Opt-in (MGTPU_ONEHOT_CACHE=1): its
+    # Mosaic compile has not been validated on the target TPU yet and a
+    # hanging compile would sink the whole bench.
+    import os
+
     n_fb = (C_pad // tc) * (B_pad // tb)
     cache_bytes = seg.max_chunks * seg.tn * seg.te * 4
-    cache_onehot = n_fb > 1 and cache_bytes <= 6 * 1024 * 1024
+    cache_onehot = (
+        os.environ.get("MGTPU_ONEHOT_CACHE") == "1"
+        and n_fb > 1
+        and cache_bytes <= 6 * 1024 * 1024
+    )
     scratch_shapes = (
         [pltpu.VMEM((seg.max_chunks, seg.tn, seg.te), jnp.float32)]
         if cache_onehot

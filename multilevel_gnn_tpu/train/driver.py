@@ -56,9 +56,14 @@ def iter_batches(
     X, Y, ages, idxs, batch_size, rng: np.random.RandomState,
     shuffle: bool, drop_last: bool,
     sampler_weights: Optional[np.ndarray] = None,
+    variation_aug: Optional[dict] = None,
 ):
     """Batch iterator mirroring the reference DataLoader setups
-    (train.py:309-327). Yields fully-padded Batch pytrees."""
+    (train.py:309-327). Yields fully-padded Batch pytrees.
+
+    variation_aug: {prob, range} applies the reference's random-variation
+    augmentation (multiloader.py:876-884): with probability prob, multiply
+    features by U(1-range, 1+range), cnv slots (slot % 3 == 1) exempt."""
     idxs = np.asarray(idxs)
     if sampler_weights is not None:
         # WeightedRandomSampler(weights, num_samples, replacement=True)
@@ -77,8 +82,17 @@ def iter_batches(
         b = len(chunk)
         pad = batch_size - b
         take = np.concatenate([chunk, np.repeat(chunk[-1:], pad)]) if pad else chunk
+        xb = X[take]
+        if variation_aug is not None:
+            m = np.ones_like(xb)
+            hit = rng.rand(len(take)) < variation_aug["prob"]
+            r = variation_aug["range"]
+            noise = rng.uniform(1 - r, 1 + r, xb.shape).astype(xb.dtype)
+            noise[:, 1::3] = 1.0  # cnv slots exempt (reference :880)
+            m[hit] = noise[hit]
+            xb = xb * m
         yield Batch(
-            x=jnp.asarray(X[take]),
+            x=jnp.asarray(xb),
             y=jnp.asarray(Y[take]),
             age=jnp.asarray(ages[take]),
             sample_mask=jnp.asarray(
@@ -167,11 +181,16 @@ def run_fold(
     drop_last = not (
         cfg.class_sample or cfg.weighted_loss or cfg.batch_weighted_loss
     )
+    variation = (
+        {"prob": cfg.random_variation_prob, "range": cfg.random_range}
+        if cfg.random_variation_aug
+        else None
+    )
     step_i = 0
     for epoch in range(1, cfg.epochs + 1):
         for batch in iter_batches(
             X, Y, ages, train_idx, cfg.batch_size, np_rng, shuffle, drop_last,
-            sampler_weights,
+            sampler_weights, variation,
         ):
             step_rng = jax.random.fold_in(rng_key, step_i)
             params, opt_state, loss = fns.train_step(
