@@ -128,6 +128,25 @@ def evaluate(fns, params, ctx, X, Y, ages, idxs, batch_size):
     return auc, acc, y_true, score0, float(np.mean(losses))
 
 
+_FNS_CACHE: Dict = {}
+
+
+def _shared_fns(cfg: Config, cohort: Cohort, steps_per_epoch: int):
+    """One model + one set of jitted steps per (config, steps_per_epoch) —
+    folds and runs share compilations (fold shapes are identical thanks to
+    edge bucketing; steps_per_epoch keys the baked-in LR schedule)."""
+    model_cfg = cfg.replace(
+        pathway_num=cohort.n_pathways, node_num=cohort.num_nodes // 3
+    )
+    key = (id(cohort), repr(model_cfg), steps_per_epoch)
+    if key not in _FNS_CACHE:
+        model = get_model(cfg.model)(model_cfg)
+        _FNS_CACHE[key] = (model, build_train_fns(model, model_cfg))
+        if len(_FNS_CACHE) > 4:
+            _FNS_CACHE.pop(next(iter(_FNS_CACHE)))
+    return _FNS_CACHE[key]
+
+
 def run_fold(
     cfg: Config,
     cohort: Cohort,
@@ -141,14 +160,9 @@ def run_fold(
     fold = cohort.fold(np.asarray(train_idx), fold_i)
     ctx = fold.ctx
 
-    model_cfg = cfg.replace(
-        pathway_num=cohort.n_pathways, node_num=cohort.num_nodes // 3
-    )
-    model = get_model(cfg.model)(model_cfg)
-    fns = build_train_fns(model, model_cfg)
-
     X, Y, ages = cohort.X, cohort.Y, cohort.ages
     steps_per_epoch = max(len(train_idx) // cfg.batch_size, 1)
+    model, fns = _shared_fns(cfg, cohort, steps_per_epoch)
     rng_key = jax.random.PRNGKey(cfg.seed * 10_000 + run_i * 100 + fold_i)
     init_batch = next(
         iter_batches(

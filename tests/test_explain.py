@@ -1,0 +1,45 @@
+"""Integrated-gradients explanation driver tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multilevel_gnn_tpu.core.batch import Batch
+from multilevel_gnn_tpu.data.synthetic import make_synthetic_cohort
+from multilevel_gnn_tpu.models.multilevel_gnn import MultilevelGNN
+from multilevel_gnn_tpu.train.explain import (
+    explain_cohort,
+    integrated_gradients,
+    pathway_attributions,
+)
+
+from test_data_pipeline import gbm_like_cfg
+
+
+def test_integrated_gradients_completeness():
+    cfg = gbm_like_cfg()
+    cohort = make_synthetic_cohort(cfg, seed=0, n_patients=24, n_pathways=5)
+    cfg = cfg.replace(pathway_num=cohort.n_pathways, node_num=cohort.num_nodes // 3)
+    fold = cohort.fold(np.arange(14), 0)
+    B = 4
+    b = Batch(
+        x=jnp.asarray(cohort.X[:B]), y=jnp.asarray(cohort.Y[:B]),
+        age=jnp.asarray(cohort.ages[:B]), sample_mask=jnp.ones(B, bool),
+    )
+    m = MultilevelGNN(cfg)
+    params = m.init(jax.random.PRNGKey(0), b, fold.ctx, False)
+    ig = integrated_gradients(m, params, b, fold.ctx, steps=64)
+    assert ig.shape == b.x.shape
+    # completeness: sum of attributions ~= f(x) - f(0)
+    pred_x, _ = m.apply(params, b, fold.ctx, False)
+    b0 = Batch(x=jnp.zeros_like(b.x), y=b.y, age=b.age, sample_mask=b.sample_mask)
+    pred_0, _ = m.apply(params, b0, fold.ctx, False)
+    want = np.asarray(pred_x[:, 0] - pred_0[:, 0])
+    got = np.asarray(ig.sum(axis=1))
+    np.testing.assert_allclose(got, want, rtol=0.1, atol=0.02)
+
+    scores = pathway_attributions(ig, fold.ctx, cohort.n_pathways)
+    assert scores.shape == (B, cohort.n_pathways)
+    assert np.all(scores >= 0)
+
+    rows = explain_cohort(m, params, cohort, fold.ctx, b, steps=8)
+    assert len(rows) >= 1 and "p" in rows[0]
