@@ -156,6 +156,33 @@ class VAE(AutoEncoder):
         return pred, img, l, e
 
 
+def embedding_reorder(embeddings) -> "np.ndarray":
+    """Pathway reorder from saved per-omics embedding matrices (reference
+    get_embedding_similarity vae.py:308-332, xlsx-free): concatenate the
+    per-omics (P, d) embeddings, correlation-chain order."""
+    import numpy as np
+
+    cat = np.concatenate(
+        [np.asarray(e).reshape(np.asarray(e).shape[0], -1) for e in embeddings],
+        axis=-1,
+    )
+    P = cat.shape[0]
+    corr = np.corrcoef(cat) - np.eye(P)
+    corr = np.nan_to_num(corr, nan=-1.0)
+    mx = corr.argmax()
+    order = [mx // P, mx % P]
+    remain = set(range(P)) - set(order)
+    sort_m = np.argsort(corr)
+    while len(order) < P:
+        src = order[-1]
+        for t in sort_m[src][::-1]:
+            if t in remain:
+                order.append(int(t))
+                remain.remove(int(t))
+                break
+    return np.array(order, np.int32)
+
+
 def vae_loss(recon, target, z, mu, sigma, cfg, rng_key):
     """MMD-WAE objective (reference vae.py:334-357)."""
     b = target.shape[0]

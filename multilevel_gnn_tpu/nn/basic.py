@@ -124,6 +124,31 @@ class Linear(nn.Module):
         )(x)
 
 
+class FeatureEmbeddingSum(nn.Module):
+    """Sum of per-feature embedding lookups — the OGB-style Atom/Bond
+    encoders (reference torch_nn.py:78-117).  feature_dims: cardinality of
+    each integer feature column."""
+
+    feature_dims: Sequence[int]
+    emb_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        out = 0.0
+        for i, dim in enumerate(self.feature_dims):
+            emb = nn.Embed(
+                dim, self.emb_dim, embedding_init=xavier_uniform,
+                name=f"emb_{i}",
+            )
+            out = out + emb(x[..., i].astype(jnp.int32))
+        return out
+
+
+# reference aliases (utils/data_util.py:248-347 provides the OGB dims)
+AtomEncoder = FeatureEmbeddingSum
+BondEncoder = FeatureEmbeddingSum
+
+
 class MLP(nn.Module):
     """reference torch_nn.py:54-75 MLP.
 

@@ -73,24 +73,40 @@ class GenAggregate(nn.Module):
     @nn.compact
     def __call__(self, msg, graph: Graph):
         recv, n, mask = graph.receivers, graph.n_nodes, graph.edge_mask
+        pallas = spmm.get_backend() == "pallas" and graph.csr is not None
+
+        def segsum(v):
+            if pallas:
+                return spmm.edge_segment_sum(v, recv, mask, graph.csr)
+            return seg.segment_sum(v, recv, n, mask=mask)
+
+        def segmean(v):
+            if pallas:
+                deg = jnp.clip(graph.in_degree(), 1.0, None)[:, None]
+                return spmm.edge_segment_sum(v, recv, mask, graph.csr) / deg
+            return seg.segment_mean(v, recv, n, mask=mask)
+
         if self.aggr in ("add", "sum"):
-            return seg.segment_sum(msg, recv, n, mask=mask)
+            return segsum(msg)
         if self.aggr == "mean":
-            return seg.segment_mean(msg, recv, n, mask=mask)
+            return segmean(msg)
         if self.aggr == "max":
             return seg.segment_max(msg, recv, n, mask=mask)
         if self.aggr in SOFTMAX_AGGRS:
+            def softmax_w(z):
+                if pallas:
+                    return spmm.segment_softmax_weights(z, graph)
+                return seg.segment_softmax(z, recv, n, mask=mask)
+
             if self.learn_t and self.aggr in ("softmax", "softmax_sum"):
                 t = self.param("t", lambda k, s: jnp.full(s, self.t), (1,))
-                w = seg.segment_softmax(msg * t, recv, n, mask=mask)
+                w = softmax_w(msg * t)
             else:
                 # reference computes softmax weights under no_grad when t is
                 # not learned (torch_message.py:54-55)
-                w = seg.segment_softmax(
-                    jax.lax.stop_gradient(msg) * self.t, recv, n, mask=mask
-                )
+                w = softmax_w(jax.lax.stop_gradient(msg) * self.t)
                 w = jax.lax.stop_gradient(w)
-            out = seg.segment_sum(msg * w, recv, n, mask=mask)
+            out = segsum(msg * w)
             if self.aggr == "softmax_sum":
                 y = self.param("y", lambda k, s: jnp.full(s, self.y), (1,))
                 if not self.learn_y:
@@ -105,7 +121,7 @@ class GenAggregate(nn.Module):
             else:
                 p = self.p
             msg = jnp.clip(msg, min_v, max_v)
-            out = seg.segment_mean(jnp.power(msg, p), recv, n, mask=mask)
+            out = segmean(jnp.power(msg, p))
             out = jnp.clip(out, min_v, max_v)
             out = jnp.power(out, 1.0 / p)
             if self.aggr == "power_sum":

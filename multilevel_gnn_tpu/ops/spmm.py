@@ -120,6 +120,61 @@ _fused_spmm_sum.defvjp(_fused_fwd, _fused_bwd)
 
 
 @jax.custom_vjp
+def edge_segment_sum(msg, receivers, mask, csr):
+    """Segment-sum of edge values (already receiver-ordered) with a
+    scatter-free backward: d_msg = mask * d_out[receivers].
+
+    msg: (.., E, C); returns (.., N, C).  The building block for composed
+    segment ops (softmax aggregation) on the pallas backend.  The forward
+    drops padding edges via csr's id masking; the backward must re-apply
+    the edge mask so padding rows get zero cotangents.
+    """
+    m2, bc = _to_2d(msg)
+    out2 = sorted_segment_sum(m2, csr, tc=512)
+    return _from_2d(out2, bc)
+
+
+def _ess_fwd(msg, receivers, mask, csr):
+    return edge_segment_sum(msg, receivers, mask, csr), (receivers, mask, csr)
+
+
+def _ess_bwd(res, d_out):
+    receivers, mask, csr = res
+    g2, bc = _to_2d(d_out)
+    d2 = jnp.take(g2, receivers, axis=0) * mask[:, None].astype(g2.dtype)
+    d_msg = _from_2d(d2, bc)
+    return (
+        d_msg,
+        np.zeros(receivers.shape, jax.dtypes.float0),
+        np.zeros(mask.shape, jax.dtypes.float0),
+        _float0_zeros(csr),
+    )
+
+
+edge_segment_sum.defvjp(_ess_fwd, _ess_bwd)
+
+
+def segment_softmax_weights(z, graph: Graph):
+    """softmax over each destination's in-edges, per feature column —
+    scatter-free: shift by the global max (softmax is shift-invariant per
+    segment, so any constant shift is exact) then normalize by the
+    Pallas segment-summed denominators."""
+    neg_inf_mask = ~graph.edge_mask
+    shape = (-1, 1) if z.ndim == 2 else (1, -1, 1)
+    zm = jnp.where(neg_inf_mask.reshape(shape), -jnp.inf, z)
+    gmax = jax.lax.stop_gradient(
+        jnp.max(jnp.where(jnp.isfinite(zm), zm, -1e30), axis=-2, keepdims=True)
+    )
+    e = jnp.exp(zm - gmax)
+    e = jnp.where(neg_inf_mask.reshape(shape), 0.0, e)
+    denom = edge_segment_sum(e, graph.receivers, graph.edge_mask, graph.csr)
+    denom = jnp.where(denom == 0.0, 1.0, denom)
+    # gather_rows keeps the backward scatter-free when t is learnable
+    # (d_denom = Pallas segment-sum instead of XLA scatter-add)
+    return e / gather_rows(denom, graph.receivers, graph.csr)
+
+
+@jax.custom_vjp
 def gather_rows(x, idx, seg):
     """Row gather x[..., idx, :] with a scatter-free backward.
 

@@ -61,6 +61,23 @@ class StepTimer:
         return self.edges_per_step * self.batch_per_step / self.mean_s
 
 
+class AverageMeter:
+    """Running average (reference utils/metrics.py:8-24)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = self.sum = self.count = 0.0
+        self.avg = 0.0
+
+    def update(self, val, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)
+
+
 class MetricStream:
     """Append-only jsonl metric log (structured replacement for the
     reference's logging.info dicts, train.py:169-176)."""

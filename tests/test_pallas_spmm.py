@@ -47,6 +47,39 @@ def test_pallas_spmm_grad_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-4, atol=1e-5)
 
 
+def test_genconv_softmax_pallas_backend(rng):
+    """GENConv softmax aggregation (scatter-free global-max trick) matches
+    the XLA per-segment-max implementation, fwd + grad."""
+    from multilevel_gnn_tpu.nn.conv import GENConv
+
+    g = build(rng, N=80, E=300)
+    x = jnp.asarray(rng.randn(2, g.n_nodes, 16).astype(np.float32))
+    attr = jnp.asarray(np.random.RandomState(3).rand(g.num_padded_edges, 2)
+                       .astype(np.float32))
+    for aggr in ("softmax", "softmax_sum", "power", "add", "mean"):
+        conv = GENConv(16, 8, aggr=aggr, t=1.3, learn_t=True, y=0.1,
+                       encode_edge=True, edge_feat_dim=2, norm_type="none")
+        params = conv.init(jax.random.PRNGKey(0), x, g, attr)
+        spmm.set_backend("pallas")
+        try:
+            out_p = conv.apply(params, x, g, attr)
+            gp = jax.grad(lambda p: jnp.sum(conv.apply(p, x, g, attr) ** 2))(params)
+        finally:
+            spmm.set_backend("xla")
+        out_x = conv.apply(params, x, g, attr)
+        gx = jax.grad(lambda p: jnp.sum(conv.apply(p, x, g, attr) ** 2))(params)
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(out_x), rtol=1e-4, atol=1e-4,
+            err_msg=aggr,
+        )
+        for a, b in zip(jax.tree_util.tree_leaves(gp),
+                        jax.tree_util.tree_leaves(gx)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-3,
+                err_msg=aggr,
+            )
+
+
 def test_pallas_backend_in_conv_and_model(rng):
     """RSAGE conv through the pallas backend == xla backend, fwd+grad."""
     from multilevel_gnn_tpu.nn.conv import RSAGEConv
