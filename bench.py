@@ -146,9 +146,20 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     results = {}
-    for backend in ("pallas", "xla"):
+    for backend in ("pallas", "pallas_bf16", "xla"):
         try:
-            eps, dt, compile_s, out = bench_spmm(backend)
+            if backend == "pallas_bf16":
+                import jax.numpy as jnp
+
+                from multilevel_gnn_tpu.ops import spmm as _spmm
+
+                _spmm.set_spmm_dtype(jnp.bfloat16)
+                try:
+                    eps, dt, compile_s, out = bench_spmm("pallas")
+                finally:
+                    _spmm.set_spmm_dtype(None)
+            else:
+                eps, dt, compile_s, out = bench_spmm(backend)
             results[backend] = (eps, dt)
             print(
                 f"spmm {backend}: {eps:.3e} edges/s ({dt*1e3:.2f} ms, "

@@ -235,6 +235,7 @@ class Config:
     # ---- framework-only knobs (new; no reference analog)
     slot_sizes: Optional[tuple] = None  # genes per pathway-omics slot (AE)
     kernel_backend: str = "xla"  # xla | pallas
+    spmm_bf16: bool = False  # cast SpMM messages to bf16 (pallas path)
     mesh_data_axis: int = 1  # data-parallel mesh size
     mesh_model_axis: int = 1  # edge-partition mesh size
     pathway_edge_num: int = 0  # set by the data pipeline (onehot edge count)

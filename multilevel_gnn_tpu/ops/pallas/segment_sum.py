@@ -159,14 +159,21 @@ def _make_kernel(cache_onehot: bool):
                 onehot = oh_ref[c]
             else:
                 onehot = build()
-            # 'ne,bec->nbc' on the MXU; HIGHEST keeps f32 data exact (the
-            # default bf16 passes round the data mantissa)
+            # 'ne,bec->nbc' on the MXU.  f32 data needs HIGHEST to keep the
+            # mantissa exact (default bf16 passes round it); bf16 data rides
+            # the native single-pass MXU.
+            data = data_ref[:]
+            if data.dtype == jnp.bfloat16:
+                onehot = onehot.astype(jnp.bfloat16)
+                prec = jax.lax.Precision.DEFAULT
+            else:
+                prec = jax.lax.Precision.HIGHEST
             out_ref[:] += jax.lax.dot_general(
                 onehot,
-                data_ref[:],
+                data,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             )
 
     return kernel

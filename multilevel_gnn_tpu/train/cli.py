@@ -22,6 +22,12 @@ def main(argv=None):
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--debug", action="store_true", help="tiny fast settings")
     ap.add_argument("--out", default=None, help="results json path")
+    ap.add_argument(
+        "--pretrain", default=None,
+        choices=["autoencoder", "vae", "mmd_vae", "vq_vae"],
+        help="reconstruction-pretrain the encoder first, then fine-tune",
+    )
+    ap.add_argument("--pretrain-epochs", type=int, default=None)
     ap.add_argument("--set", nargs="*", default=[], help="key=value overrides")
     args = ap.parse_args(argv)
 
@@ -74,7 +80,10 @@ def main(argv=None):
             cfg,
         )
 
-    results = run_experiment(cfg, cohort)
+    results = run_experiment(
+        cfg, cohort, pretrain=args.pretrain,
+        pretrain_epochs=args.pretrain_epochs,
+    )
     final_e = results["check_epochs"][-1]
     print(
         json.dumps(

@@ -156,6 +156,7 @@ def run_fold(
     fold_i: int,
     run_i: int,
     check_epochs: List[int],
+    pretrained_params=None,
 ) -> FoldResult:
     fold = cohort.fold(np.asarray(train_idx), fold_i)
     ctx = fold.ctx
@@ -173,6 +174,13 @@ def run_fold(
     params, opt_state = fns.init_state(rng_key, init_batch, ctx, steps_per_epoch)
     if cfg.init_with_pca and fold.pca_seed is not None:
         params = seed_pca_params(params, jnp.asarray(fold.pca_seed))
+    if pretrained_params is not None:
+        # AE/VAE-pretrained partial load (reference load_autoencoder_pretrain,
+        # multilevel_gnn.py:386-394) — applied AFTER the PCA seeding so the
+        # pretrained learnable-PCA weights win, as in the reference
+        from multilevel_gnn_tpu.train.pretrain import transfer_pretrained
+
+        params = transfer_pretrained(pretrained_params, params)
 
     class_weight = jnp.asarray(fold.class_weight, jnp.float32)
     sampler_weights = None
@@ -250,8 +258,22 @@ def run_fold(
     )
 
 
-def run_experiment(cfg: Config, cohort: Cohort) -> Dict:
-    """Full num_run x 5-fold protocol with pooled check-epoch scoring."""
+def run_experiment(
+    cfg: Config, cohort: Cohort, pretrained_params=None,
+    pretrain: Optional[str] = None, pretrain_epochs: Optional[int] = None,
+) -> Dict:
+    """Full num_run x 5-fold protocol with pooled check-epoch scoring.
+
+    pretrain: 'autoencoder' | 'vae' | 'vq_vae' — run reconstruction
+    pretraining on the cohort first and transfer the encoder into every
+    fold's init (the reference's load_autoencoder_ckpt workflow)."""
+    if pretrain is not None and pretrained_params is None:
+        from multilevel_gnn_tpu.train.pretrain import pretrain_autoencoder
+
+        pretrained_params, _, _, _ = pretrain_autoencoder(
+            cfg.replace(slot_sizes=cohort.slot_sizes()),
+            cohort, pretrain, epochs=pretrain_epochs,
+        )
     labels = cohort.labels()
     check_epochs = list(range(5, cfg.epochs + 1, 5)) or [cfg.epochs]
     agg = {
@@ -274,7 +296,7 @@ def run_experiment(cfg: Config, cohort: Cohort) -> Dict:
             train_idx, valid_idx = tune[tr], tune[va]
             fr = run_fold(
                 cfg, cohort, train_idx, valid_idx, test_idx, fold_i, run_i,
-                check_epochs,
+                check_epochs, pretrained_params,
             )
             fold_results.append(fr)
         y = np.concatenate([fr.y_true for fr in fold_results])

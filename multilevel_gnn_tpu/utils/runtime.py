@@ -21,6 +21,9 @@ def enable_compilation_cache(path: str = None) -> None:
 
 def configure_backend(cfg) -> None:
     """Apply cfg.kernel_backend ('xla' | 'pallas') to the spmm dispatch."""
+    import jax.numpy as jnp
+
     from multilevel_gnn_tpu.ops import spmm
 
     spmm.set_backend(cfg.kernel_backend)
+    spmm.set_spmm_dtype(jnp.bfloat16 if cfg.spmm_bf16 else None)

@@ -47,6 +47,33 @@ def test_pallas_spmm_grad_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_spmm_bf16_close(rng):
+    """bf16 message casting stays within mixed-precision tolerance."""
+    import jax.numpy as jnp2
+
+    g = build(rng)
+    x = jnp.asarray(rng.randn(2, g.n_nodes, 32).astype(np.float32))
+    spmm.set_spmm_dtype(jnp2.bfloat16)
+    try:
+        got = spmm.gather_scatter(x, g, "sum", g.edge_attr, backend="pallas")
+    finally:
+        spmm.set_spmm_dtype(None)
+    assert got.dtype == jnp2.float32
+    # oracle: same computation with inputs pre-rounded to bf16 (f32 accum)
+    xr = x.astype(jnp2.bfloat16).astype(jnp2.float32)
+    wr = g.edge_attr.astype(jnp2.bfloat16).astype(jnp2.float32)
+    want = spmm.gather_scatter(xr, g, "sum", wr, backend="xla")
+    # the pallas path also rounds the x*w product to bf16 => ~0.4% extra
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-2, atol=2e-2
+    )
+    # f32 reference within mixed-precision distance
+    want32 = spmm.gather_scatter(x, g, "sum", g.edge_attr, backend="xla")
+    err = np.abs(np.asarray(got) - np.asarray(want32))
+    scale = np.abs(np.asarray(want32)).max()
+    assert err.max() / scale < 0.02, err.max() / scale
+
+
 def test_genconv_softmax_pallas_backend(rng):
     """GENConv softmax aggregation (scatter-free global-max trick) matches
     the XLA per-segment-max implementation, fwd + grad."""
