@@ -113,17 +113,20 @@ def _fused_fwd(x, w, senders, receivers, csr, csc):
 
 
 def _fused_bwd(res, d_out):
-    w, receivers, csr, csc, ndim = res
+    w0, receivers, csr, csc, ndim = res
     g2, bc = _to_2d(d_out)
+    w = w0
     if _DTYPE is not None:
         g2 = g2.astype(_DTYPE)
         w = w.astype(_DTYPE)
     g = jnp.take(g2, receivers, axis=0) * w
     d_x2 = segment_sum_by(g, csc, tc=512)
     d_x = _from_2d(d_x2, bc)
+    if d_x.dtype != d_out.dtype:
+        d_x = d_x.astype(d_out.dtype)
     return (
         d_x,
-        jnp.zeros_like(w),
+        jnp.zeros_like(w0),
         np.zeros(receivers.shape, jax.dtypes.float0),
         np.zeros(receivers.shape, jax.dtypes.float0),
         _float0_zeros(csr),
@@ -196,9 +199,11 @@ def gather_rows(x, idx, seg):
     idx must be pre-resolved (non-negative) indices; seg is the
     SortedSegments built from idx over x's row count.  Backward:
     d_x = Pallas segment-sum of d_out over idx — replaces XLA's scatter-add
-    transpose of gather (the 166 s compile).
+    transpose of gather (the 166 s compile).  Batched inputs route through
+    the 2D (N, B*C) layout for contiguous wide-row gathers.
     """
-    return jnp.take(x, idx, axis=-2)
+    x2, bc = _to_2d(x)
+    return _from_2d(jnp.take(x2, idx, axis=0), bc)
 
 
 def _gather_rows_fwd(x, idx, seg):
@@ -207,7 +212,8 @@ def _gather_rows_fwd(x, idx, seg):
 
 def _gather_rows_bwd(res, d_out):
     idx, seg = res
-    d_x = segment_sum_by(d_out, seg)
+    g2, bc = _to_2d(d_out)
+    d_x = _from_2d(segment_sum_by(g2, seg, tc=512), bc)
     return (
         d_x,
         np.zeros(idx.shape, jax.dtypes.float0),
