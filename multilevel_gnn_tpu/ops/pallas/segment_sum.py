@@ -159,19 +159,19 @@ def _make_kernel(cache_onehot: bool):
                 onehot = oh_ref[c]
             else:
                 onehot = build()
-            # 'ne,bec->nbc' on the MXU.  f32 data needs HIGHEST to keep the
-            # mantissa exact (default bf16 passes round it); bf16 data rides
-            # the native single-pass MXU.
+            # 'ne,bec->nbc' on the MXU.  Measured: matmul passes are NOT the
+            # bottleneck (bf16 single-pass == f32 HIGHEST end to end); the
+            # kernel is grid-step-overhead bound, so keep the simple exact
+            # form and minimize steps via larger tc (see the VMEM clamp).
             data = data_ref[:]
+            dn = (((1,), (1,)), ((), ()))
             if data.dtype == jnp.bfloat16:
                 onehot = onehot.astype(jnp.bfloat16)
                 prec = jax.lax.Precision.DEFAULT
             else:
                 prec = jax.lax.Precision.HIGHEST
             out_ref[:] += jax.lax.dot_general(
-                onehot,
-                data,
-                dimension_numbers=(((1,), (1,)), ((), ())),
+                onehot, data, dn,
                 preferred_element_type=jnp.float32,
                 precision=prec,
             )
@@ -200,6 +200,16 @@ def sorted_segment_sum(
     n_chunks_total = seg.ids3d.shape[0] - 1  # last row is the sentinel
     E_pad = n_chunks_total * seg.te
     tc = min(tc, _round_up(C, 128))
+    tb_eff = min(tb, B if data.ndim == 3 else 1)
+    # clamp tc so double-buffered data + out blocks fit in ~12MB VMEM;
+    # full-width tc (== padded C) makes every chunk read contiguous, which
+    # is the kernel's actual bottleneck (measured DMA-bound at ~90 GB/s
+    # when tc < C forces strided 2KB row reads)
+    dsize = 2 if data.dtype == jnp.bfloat16 else 4
+    while tc > 128 and (
+        2 * tb_eff * seg.te * tc * dsize + seg.tn * tb_eff * tc * 4
+    ) > 12 * 1024 * 1024:
+        tc //= 2
     C_pad = _round_up(C, tc)
     tb = min(tb, B)
     B_pad = _round_up(B, tb)
