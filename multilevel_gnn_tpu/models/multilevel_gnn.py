@@ -354,6 +354,56 @@ def get_feature_loss(
     return loss
 
 
+def init_precise_orthogonal(
+    pca_params: "np.ndarray",
+    pathway_indexs: "np.ndarray",
+    info_mask: "np.ndarray",
+    rng: Optional["np.random.RandomState"] = None,
+):
+    """Per-pathway-slot orthogonal init of the learnable PCA rows
+    (reference multilevel_gnn.py:313-327): within each slot, orthogonalize
+    the MI-selected rows and rescale them to the global orthogonal-init
+    mean magnitude.  Host-side numpy; returns the new (G, K) array."""
+    import numpy as np
+
+    rng = rng or np.random.RandomState(0)
+    p = np.asarray(pca_params).copy()
+    G, K = p.shape
+
+    def orth(shape):
+        a = rng.randn(*shape)
+        if shape[0] < shape[1]:
+            q, _ = np.linalg.qr(a.T)
+            return q.T[: shape[0], : shape[1]]
+        q, _ = np.linalg.qr(a)
+        return q[: shape[0], : shape[1]]
+
+    t_mean = np.abs(orth((G, K))).mean()
+    seg = np.asarray(pathway_indexs)
+    mask = np.asarray(info_mask).reshape(-1)
+    for s in np.unique(seg):
+        idx = np.where((seg == s) & (mask > 0))[0]
+        if len(idx) == 0:
+            continue
+        block = orth((len(idx), K))
+        scale = t_mean / max(np.abs(block).mean(), 1e-12)
+        p[idx] = block * scale
+    return p
+
+
+def collect_scalar_params(params) -> dict:
+    """Learnable aggregation scalars for logging (reference
+    deepergcn.py:325-349 print_params): {path: value} for t / p / y /
+    msg_scale leaves."""
+    import flax
+
+    out = {}
+    for path, leaf in flax.traverse_util.flatten_dict(params).items():
+        if path[-1] in ("t", "p", "y", "msg_scale"):
+            out["/".join(path)] = float(jnp.asarray(leaf).reshape(-1)[0])
+    return out
+
+
 def seed_pca_params(params, pca_seed: jax.Array):
     """Replace the learnable PCA leaf with the sklearn-seeded value
     (reference set_pca_params, multilevel_gnn.py:301-308)."""

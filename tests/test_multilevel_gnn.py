@@ -191,3 +191,36 @@ def test_seeded_pca_params_and_feature_loss(rng):
         params, batch, ctx, True, rngs={"dropout": jax.random.PRNGKey(1)}
     )
     assert bool(jnp.isfinite(pred).all())
+
+
+def test_precise_orthogonal_and_scalar_params(rng):
+    from multilevel_gnn_tpu.models.multilevel_gnn import (
+        collect_scalar_params,
+        init_precise_orthogonal,
+    )
+    from multilevel_gnn_tpu.nn.conv import GENConv
+    from multilevel_gnn_tpu.core.graph import Graph
+
+    G, K = 50, 3
+    seg = np.sort(rng.randint(0, 7, G))
+    mask = (rng.rand(G) > 0.3).astype(np.float32)
+    p0 = rng.rand(G, K).astype(np.float32)
+    p = init_precise_orthogonal(p0, seg, mask)
+    np.testing.assert_array_equal(p[mask == 0], p0[mask == 0])
+    for s in np.unique(seg):
+        idx = np.where((seg == s) & (mask > 0))[0]
+        if len(idx) >= 2:
+            gram = p[idx].T @ p[idx]
+            off = np.abs(gram - np.diag(np.diag(gram))).max()
+            assert off < 1e-4 * max(np.abs(gram).max(), 1e-6)
+
+    edges = rng.randint(0, 10, size=(2, 30)).astype(np.int32)
+    g = Graph.from_edges(edges, None, 10)
+    conv = GENConv(4, 4, aggr="softmax_sum", learn_t=True, learn_y=True,
+                   norm_type="none")
+    params = conv.init(
+        jax.random.PRNGKey(0), jnp.ones((1, 10, 4)), g, None
+    )
+    scalars = collect_scalar_params(params)
+    assert any(k.endswith("/t") for k in scalars)
+    assert any(k.endswith("/y") for k in scalars)
