@@ -140,7 +140,7 @@ def build_train_fns(model, cfg: Config) -> TrainFns:
         return loss, pred
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch, ctx, class_weight, rng, tx_idx=0):
+    def train_step(params, opt_state, batch, ctx, class_weight, rng):
         (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, ctx, class_weight, rng
         )
