@@ -57,6 +57,7 @@ def iter_batches(
     shuffle: bool, drop_last: bool,
     sampler_weights: Optional[np.ndarray] = None,
     variation_aug: Optional[dict] = None,
+    raw: Optional[np.ndarray] = None,
 ):
     """Batch iterator mirroring the reference DataLoader setups
     (train.py:309-327). Yields fully-padded Batch pytrees.
@@ -88,7 +89,10 @@ def iter_batches(
             hit = rng.rand(len(take)) < variation_aug["prob"]
             r = variation_aug["range"]
             noise = rng.uniform(1 - r, 1 + r, xb.shape).astype(xb.dtype)
-            noise[:, 1::3] = 1.0  # cnv slots exempt (reference :880)
+            if xb.ndim == 2:
+                noise[:, 1::3] = 1.0  # cnv slots exempt (reference :880)
+            else:
+                noise[..., 1] = 1.0  # gene-level layout: cnv column
             m[hit] = noise[hit]
             xb = xb * m
         yield Batch(
@@ -98,6 +102,7 @@ def iter_batches(
             sample_mask=jnp.asarray(
                 np.concatenate([np.ones(b, bool), np.zeros(pad, bool)])
             ),
+            raw_data=jnp.asarray(raw[take]) if raw is not None else None,
         )
 
 
@@ -113,11 +118,12 @@ class FoldResult:
     epoch_pred_by_epoch: Dict[int, np.ndarray]
 
 
-def evaluate(fns, params, ctx, X, Y, ages, idxs, batch_size):
+def evaluate(fns, params, ctx, X, Y, ages, idxs, batch_size, raw=None):
     preds, losses = [], []
     rng = np.random.RandomState(0)
     for batch in iter_batches(
-        X, Y, ages, idxs, batch_size, rng, shuffle=False, drop_last=False
+        X, Y, ages, idxs, batch_size, rng, shuffle=False, drop_last=False,
+        raw=raw,
     ):
         pred, loss = fns.eval_step(params, batch, ctx)
         m = np.asarray(batch.sample_mask)
@@ -134,10 +140,9 @@ _FNS_CACHE: Dict = {}
 def _shared_fns(cfg: Config, cohort: Cohort, steps_per_epoch: int):
     """One model + one set of jitted steps per (config, steps_per_epoch) —
     folds and runs share compilations (fold shapes are identical thanks to
-    edge bucketing; steps_per_epoch keys the baked-in LR schedule)."""
-    model_cfg = cfg.replace(
-        pathway_num=cohort.n_pathways, node_num=cohort.num_nodes // 3
-    )
+    edge bucketing; steps_per_epoch keys the baked-in LR schedule).
+    cfg.node_num must already be set for the model family (run_fold)."""
+    model_cfg = cfg.replace(pathway_num=cohort.n_pathways)
     key = (id(cohort), repr(model_cfg), steps_per_epoch)
     if key not in _FNS_CACHE:
         model = get_model(cfg.model)(model_cfg)
@@ -158,17 +163,44 @@ def run_fold(
     check_epochs: List[int],
     pretrained_params=None,
 ) -> FoldResult:
-    fold = cohort.fold(np.asarray(train_idx), fold_i)
+    gene_level = cfg.model in ("deepergcn",)
+    if gene_level:
+        # DeeperGCN rides the gene-level topology with pathway-vnode edges
+        # and per-pathway PCA attrs in batch.raw_data
+        fold = cohort.deepergcn_fold(np.asarray(train_idx), fold_i)
+        X = cohort.gene_level_features()
+        raw = fold.pathway_node_attr.astype(np.float32)
+        cfg = cfg.replace(
+            pathway_edge_num=max(getattr(cohort, "pathway_edge_num", 0), 1),
+            node_num=cohort.node_size + cohort.n_pathways,
+        )
+    else:
+        fold = cohort.fold(np.asarray(train_idx), fold_i)
+        cfg = cfg.replace(node_num=cohort.num_nodes // 3)
+        X = cohort.X
+        raw = (
+            fold.pathway_node_attr.astype(np.float32)
+            if cfg.model == "pathcnn" and not cfg.learnable_pca
+            else (
+                cohort.raw_datas[
+                    [cohort.pca_patients.index(p) for p in cohort.patients]
+                ].astype(np.float32)
+                if cfg.model == "pathcnn"
+                else None
+            )
+        )
+        if cfg.model == "pathcnn" and not cfg.learnable_pca:
+            raw = raw.reshape(len(cohort.patients), -1)
     ctx = fold.ctx
 
-    X, Y, ages = cohort.X, cohort.Y, cohort.ages
+    Y, ages = cohort.Y, cohort.ages
     steps_per_epoch = max(len(train_idx) // cfg.batch_size, 1)
     model, fns = _shared_fns(cfg, cohort, steps_per_epoch)
     rng_key = jax.random.PRNGKey(cfg.seed * 10_000 + run_i * 100 + fold_i)
     init_batch = next(
         iter_batches(
             X, Y, ages, train_idx, cfg.batch_size, np.random.RandomState(0),
-            False, False,
+            False, False, raw=raw,
         )
     )
     params, opt_state = fns.init_state(rng_key, init_batch, ctx, steps_per_epoch)
@@ -212,7 +244,7 @@ def run_fold(
     for epoch in range(1, cfg.epochs + 1):
         for batch in iter_batches(
             X, Y, ages, train_idx, cfg.batch_size, np_rng, shuffle, drop_last,
-            sampler_weights, variation,
+            sampler_weights, variation, raw=raw,
         ):
             step_rng = jax.random.fold_in(rng_key, step_i)
             params, opt_state, loss = fns.train_step(
@@ -221,10 +253,10 @@ def run_fold(
             step_i += 1
 
         valid_auc, valid_acc, _, _, valid_loss = evaluate(
-            fns, params, ctx, X, Y, ages, valid_idx, cfg.batch_size
+            fns, params, ctx, X, Y, ages, valid_idx, cfg.batch_size, raw=raw
         )
         test_auc, test_acc, y_true_test, test_score, test_loss = evaluate(
-            fns, params, ctx, X, Y, ages, test_idx, cfg.batch_size
+            fns, params, ctx, X, Y, ages, test_idx, cfg.batch_size, raw=raw
         )
         valid_eval = valid_auc if cfg.metrics == "auc" else valid_acc
         if valid_loss < results["highest_valid_loss"]:

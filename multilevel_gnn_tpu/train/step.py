@@ -133,10 +133,14 @@ def build_train_fns(model, cfg: Config) -> TrainFns:
         loss = classification_loss(
             pred, batch.y, class_weight, batch.sample_mask, cfg
         )
-        pca_params = params["params"]["learnable_pca_params"]
-        loss = loss + get_feature_loss(
-            pca_params, ctx, feat, cfg, batch.sample_mask
-        )
+        # feature losses only apply to the learnable-PCA model family
+        # (DeeperGCN / MultiOmixGCN return aux=None; reference train.py:48-49
+        # is wired for the MultilevelGNN family — SURVEY.md §3.3 note)
+        pca_params = params["params"].get("learnable_pca_params")
+        if pca_params is not None and feat is not None:
+            loss = loss + get_feature_loss(
+                pca_params, ctx, feat, cfg, batch.sample_mask
+            )
         return loss, pred
 
     @partial(jax.jit, donate_argnums=(0, 1))

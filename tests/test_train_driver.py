@@ -43,3 +43,19 @@ def test_end_to_end_cv_run():
     assert 0.0 <= acc <= 1.0
     assert np.isfinite(results["auc_by_loss"][5])
     assert results["wall_time_s"] > 0
+
+
+def test_cv_driver_with_deepergcn():
+    """BASELINE config #2: DeeperGCN through the full CV protocol."""
+    cfg = gbm_like_cfg(
+        model="deepergcn", conv="gen", gcn_aggr="softmax", block="res+",
+        num_layers=2, hidden_channels=8, norm="layer", node_embedding=True,
+        node_embedding_dim=4, use_edge_attr=True, global_edge="onehot",
+        pathway_readout="maxpool", num_layer_head=2, pre_concat_age=True,
+        epochs=2, num_run=1, batch_size=8, split_shaffle=True, split_seed=1,
+    )
+    cohort = make_synthetic_cohort(cfg, seed=0, n_patients=40, n_pathways=8)
+    res = run_experiment(cfg, cohort)
+    e = res["check_epochs"][-1]
+    assert 0.0 <= res["auc"][e] <= 1.0
+    assert np.isfinite(res["acc"][e])
