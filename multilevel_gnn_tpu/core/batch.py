@@ -70,6 +70,9 @@ class FoldContext:
     # second topology for edge_type='merge' (reference multilevel_gnn.py
     # :156-182 edge-list mode: PPI + GRN graphs, features concatenated)
     graph2: Optional[Graph] = None
+    # (P, P) pathway correlation + I adjacency for DiffPool heads
+    # (reference vae.py:301-306 set_pathway_similarity_matrix)
+    pathway_adj: Optional[jax.Array] = None
 
     @property
     def num_pca_rows(self) -> int:

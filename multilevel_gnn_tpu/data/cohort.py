@@ -443,6 +443,17 @@ class Cohort:
         reorder = None
         if cfg.reorder_pathway and (cfg.selected_similarity or info_mask is None):
             reorder = self._reorder_from_matrix(pathway_matrix)
+        # pathway correlation adjacency (+I) for DiffPool heads
+        P = self.n_pathways
+        mats = [
+            np.concatenate(
+                [pathway_matrix[3 * ppi + oi].reshape(-1) for oi in range(3)]
+            )
+            for ppi in range(P)
+        ]
+        corr = np.corrcoef(np.stack(mats))
+        corr = np.nan_to_num(corr, nan=0.0) + np.eye(P)
+        self._last_pathway_adj = corr.astype(np.float32)
         return seed, attr, reorder
 
     def _reorder_from_matrix(self, pathway_matrix: List[np.ndarray]) -> np.ndarray:
@@ -737,6 +748,11 @@ class Cohort:
             reorder,
             pca_seed=seed,
             n_pathways=self.n_pathways,
+        )
+        import dataclasses as _dc
+
+        ctx = _dc.replace(
+            ctx, pathway_adj=jnp.asarray(self._last_pathway_adj)
         )
         return FoldData(
             ctx=ctx,

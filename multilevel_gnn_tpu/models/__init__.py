@@ -8,6 +8,7 @@ def get_model(name: str):
 
     registry = {
         "multilevel_gnn": multilevel_gnn.MultilevelGNN,
+        "vae_finetune": vae.VAEClassifier,  # CV fine-tune head over the VAE
         "multilevel_gnn_seq": multilevel_gnn.MultilevelGNN,  # seq refactor == same math
         "pathcnn": pathcnn.PathCNN,
         "deepergcn": deepergcn.DeeperGCN,

@@ -156,6 +156,22 @@ class VAE(AutoEncoder):
         return pred, img, l, e
 
 
+class VAEClassifier(VAE):
+    """VAE fine-tune classifier under the uniform driver protocol:
+    apply(params, batch, ctx, training) -> (pred, pca_feature, extra_loss)
+    where extra_loss carries the DiffPool link+entropy terms (reference
+    eval_step/train_step vae.py:90-116; pathway adjacency from
+    ctx.pathway_adj)."""
+
+    @nn.compact
+    def __call__(self, batch: Batch, ctx: FoldContext, training: bool = False):
+        (pred, img, l, e), aux = self._finetune(
+            batch, ctx, ctx.pathway_adj, training,
+            rng_key=None, generate_sample=False,
+        )
+        return pred, img, l + e
+
+
 def embedding_reorder(embeddings) -> "np.ndarray":
     """Pathway reorder from saved per-omics embedding matrices (reference
     get_embedding_similarity vae.py:308-332, xlsx-free): concatenate the

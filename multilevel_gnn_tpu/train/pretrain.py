@@ -170,7 +170,9 @@ def transfer_pretrained(pre_params: Dict, target_params: Dict) -> Dict:
     copied = 0
     for path in dst:
         if path in src and src[path].shape == dst[path].shape:
-            dst[path] = src[path]
+            # copy: the training step donates its input buffers, and the
+            # same pretrained leaves are re-transferred into every fold
+            dst[path] = jnp.array(src[path])
             copied += 1
     log.info("transferred %d/%d parameter leaves", copied, len(dst))
     return flax.traverse_util.unflatten_dict(dst)

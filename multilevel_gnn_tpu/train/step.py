@@ -127,10 +127,10 @@ def build_train_fns(model, cfg: Config) -> TrainFns:
     protocol apply(params, batch, ctx, training) -> (pred, aux)."""
 
     def loss_fn(params, batch: Batch, ctx: FoldContext, class_weight, rng):
-        pred, feat = model.apply(
-            params, batch, ctx, True, rngs={"dropout": rng}
-        )
-        loss = classification_loss(
+        out = model.apply(params, batch, ctx, True, rngs={"dropout": rng})
+        pred, feat = out[0], out[1]
+        extra = out[2] if len(out) > 2 else 0.0
+        loss = extra + classification_loss(
             pred, batch.y, class_weight, batch.sample_mask, cfg
         )
         # feature losses only apply to the learnable-PCA model family
@@ -154,7 +154,7 @@ def build_train_fns(model, cfg: Config) -> TrainFns:
 
     @jax.jit
     def eval_step(params, batch, ctx):
-        pred, _ = model.apply(params, batch, ctx, False)
+        pred = model.apply(params, batch, ctx, False)[0]
         loss = classification_loss(
             pred, batch.y, None, batch.sample_mask, cfg.replace(
                 weight_balance=False, weighted_loss=False,

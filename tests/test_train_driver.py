@@ -59,3 +59,21 @@ def test_cv_driver_with_deepergcn():
     e = res["check_epochs"][-1]
     assert 0.0 <= res["auc"][e] <= 1.0
     assert np.isfinite(res["acc"][e])
+
+
+def test_cv_driver_vae_finetune_with_pretrain():
+    """BASELINE config #5: VAE pretraining -> DiffPool fine-tune classifier
+    through the full CV protocol."""
+    cfg = gbm_like_cfg(
+        model="vae_finetune", decoder_type="foreach", decoder_dim=16,
+        epochs=2, num_run=1, batch_size=8, split_shaffle=True, split_seed=1,
+        reorder_type="diff_pooling", diff_pooling_layer=1,
+        diff_pooling_hidden_dim=8, diff_pooling_output_dim=8,
+        hidden_channels=8, final_channels=4, node_embedding_dim=4,
+        head_dim=16,
+    )
+    cohort = make_synthetic_cohort(cfg, seed=0, n_patients=40, n_pathways=5)
+    cfg = cfg.replace(slot_sizes=cohort.slot_sizes())
+    res = run_experiment(cfg, cohort, pretrain="vae", pretrain_epochs=1)
+    e = res["check_epochs"][-1]
+    assert 0.0 <= res["auc"][e] <= 1.0
