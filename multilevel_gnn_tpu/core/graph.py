@@ -12,6 +12,7 @@ recompilation, MXU-shaped tensors.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional
 
@@ -167,8 +168,12 @@ class Graph:
         recv = np.asarray(self.receivers)
         send = np.asarray(self.senders)
         mask = np.asarray(self.edge_mask)
-        csr = SortedSegments.build(recv, self.n_nodes, mask=mask)
-        csc = SortedSegments.build(send, self.n_nodes, mask=mask)
+        # te (edge-chunk tile) trades grid steps against VMEM per block:
+        # smaller chunks let the 2D kernel take full-width (contiguous-DMA)
+        # feature blocks at wide B*C.  Env-tunable for benching.
+        te = int(os.environ.get("MGTPU_TE", "512"))
+        csr = SortedSegments.build(recv, self.n_nodes, te=te, mask=mask)
+        csc = SortedSegments.build(send, self.n_nodes, te=te, mask=mask)
         deg = np.bincount(recv[mask], minlength=self.n_nodes).astype(np.float32)
         return dataclasses.replace(
             self, csr=csr, csc=csc, in_deg=jnp.asarray(deg)

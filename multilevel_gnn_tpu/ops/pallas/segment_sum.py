@@ -119,7 +119,7 @@ class SortedSegments:
         )
 
 
-def _make_kernel(cache_onehot: bool):
+def _make_kernel(cache_onehot: bool, two_d: bool = False):
     def kernel(chunk_first_ref, n_chunks_ref, ids_ref, data_ref, out_ref,
                *scratch):
         c = pl.program_id(3)
@@ -164,7 +164,7 @@ def _make_kernel(cache_onehot: bool):
             # kernel is grid-step-overhead bound, so keep the simple exact
             # form and minimize steps via larger tc (see the VMEM clamp).
             data = data_ref[:]
-            dn = (((1,), (1,)), ((), ()))
+            dn = (((1,), (0,)), ((), ())) if two_d else (((1,), (1,)), ((), ()))
             if data.dtype == jnp.bfloat16:
                 onehot = onehot.astype(jnp.bfloat16)
                 prec = jax.lax.Precision.DEFAULT
@@ -192,9 +192,8 @@ def sorted_segment_sum(
     if interpret is None:
         # Mosaic kernels only compile on TPU; interpret elsewhere (tests/CPU)
         interpret = jax.default_backend() != "tpu"
-    squeeze = data.ndim == 2
-    if squeeze:
-        data = data[None]
+    if data.ndim == 2:
+        return _sorted_segment_sum_2d(data, seg, tc, interpret)
     B, E, C = data.shape
     assert E == seg.n_ids, (E, seg.n_ids)
     n_chunks_total = seg.ids3d.shape[0] - 1  # last row is the sentinel
@@ -275,8 +274,81 @@ def sorted_segment_sum(
         interpret=interpret,
     )(seg.chunk_first, seg.n_chunks, seg.ids3d, data)
     out = out[: seg.num_segments, :B, :C]
-    out = jnp.transpose(out, (1, 0, 2))  # (B, N, C)
-    return out[0] if squeeze else out
+    return jnp.transpose(out, (1, 0, 2))  # (B, N, C)
+
+
+def _sorted_segment_sum_2d(
+    data: jax.Array,
+    seg: SortedSegments,
+    tc: int,
+    interpret: bool,
+) -> jax.Array:
+    """(E, C) specialization: no batch axis, no output transpose, and data
+    blocks are plain (te, tc) tiles of a 2D array — when tc == padded C the
+    chunk read is one contiguous te*C burst, which is the DMA-granularity
+    fix for the measured ~90 GB/s strided-read bottleneck (STATUS.md)."""
+    E, C = data.shape
+    assert E == seg.n_ids, (E, seg.n_ids)
+    n_chunks_total = seg.ids3d.shape[0] - 1
+    E_pad = n_chunks_total * seg.te
+    dsize = 2 if data.dtype == jnp.bfloat16 else 4
+
+    def vmem(t):
+        # double-buffered data block + out block + onehot build temporaries
+        return 2 * seg.te * t * dsize + seg.tn * t * 4
+
+    C_128 = _round_up(C, 128)
+    # prefer full-width blocks (contiguous chunk DMA) when they fit in VMEM
+    tc = C_128 if vmem(C_128) <= 12 * 1024 * 1024 else min(tc, C_128)
+    while tc > 128 and vmem(tc) > 12 * 1024 * 1024:
+        tc //= 2
+    C_pad = _round_up(C, tc)
+    data = jnp.pad(data, ((0, E_pad + seg.te - E), (0, C_pad - C)))
+    N_pad = seg.n_tiles * seg.tn
+    grid = (seg.n_tiles, C_pad // tc, 1, seg.max_chunks)
+
+    def ids_map(n, f, b, c, chunk_first, n_chunks):
+        return (jnp.minimum(chunk_first[n] + c, n_chunks_total), 0, 0)
+
+    def data_map(n, f, b, c, chunk_first, n_chunks):
+        return (jnp.minimum(chunk_first[n] + c, n_chunks_total), f)
+
+    import os
+
+    cache_bytes = seg.max_chunks * seg.tn * seg.te * 4
+    cache_onehot = (
+        os.environ.get("MGTPU_ONEHOT_CACHE") == "1"
+        and C_pad // tc > 1
+        and cache_bytes <= 6 * 1024 * 1024
+    )
+    scratch_shapes = (
+        [pltpu.VMEM((seg.max_chunks, seg.tn, seg.te), jnp.float32)]
+        if cache_onehot
+        else []
+    )
+    out = pl.pallas_call(
+        _make_kernel(cache_onehot, two_d=True),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, seg.te // 128, 128), ids_map),
+                pl.BlockSpec((seg.te, tc), data_map),
+            ],
+            out_specs=pl.BlockSpec(
+                (seg.tn, tc), lambda n, f, b, c, cf, nc: (n, f)
+            ),
+            scratch_shapes=scratch_shapes,
+        ),
+        out_shape=jax.ShapeDtypeStruct((N_pad, C_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * seg.n_tiles * seg.max_chunks * seg.te * seg.tn * C_pad,
+            bytes_accessed=E_pad * C_pad * dsize + N_pad * C_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(seg.chunk_first, seg.n_chunks, seg.ids3d, data)
+    return out[: seg.num_segments, :C]
 
 
 def segment_sum_by(
