@@ -53,18 +53,36 @@ class SortedSegments:
     n_chunks:    (T,) int32 — chunks overlapping each out tile.
     perm:        (E,) int32 or None — permutation sorting the original index
                  array (None = already sorted).
+
+    Flat tile-aligned layout (the fast path): each out tile's edge range is
+    padded up to a whole number of TE-chunks, so every chunk belongs to
+    exactly ONE tile, the kernel grid is a single pass over chunks (no
+    skipped steps, no boundary chunk re-reads — streaming sequential DMA),
+    and per-tile accumulation rides contiguous out-block revisits.
+    flat_ids3d:  (Cf, TE/128, 128) int32 — segment ids per flat chunk,
+                 num_segments on padding slots.
+    owner:       (Cf,) int32 — owning out tile per chunk, nondecreasing;
+                 every tile owns >= 1 chunk.
+    perm_pad:    (Cf*TE,) int32 — original-order edge id per flat slot,
+                 n_ids (one-past-end sentinel) on padding slots.  Compose
+                 into upstream gathers: take(concat(rows, zero_row),
+                 perm_pad) puts data in flat order for free.
     """
 
     ids3d: jax.Array
     chunk_first: jax.Array
     n_chunks: jax.Array
     perm: Optional[jax.Array]
+    flat_ids3d: jax.Array
+    owner: jax.Array
+    perm_pad: jax.Array
     num_segments: int = dataclasses.field(metadata=dict(static=True))
     n_ids: int = dataclasses.field(metadata=dict(static=True))
     tn: int = dataclasses.field(metadata=dict(static=True))
     te: int = dataclasses.field(metadata=dict(static=True))
     max_chunks: int = dataclasses.field(metadata=dict(static=True))
     n_tiles: int = dataclasses.field(metadata=dict(static=True))
+    n_flat_chunks: int = dataclasses.field(metadata=dict(static=True))
 
     @staticmethod
     def build(
@@ -105,17 +123,39 @@ class SortedSegments:
         ids3d = np.concatenate(
             [sorted_ids, np.full(te, num_segments, np.int64)]
         ).reshape(n_chunks_total + 1, te // 128, 128)
+
+        # ---- flat tile-aligned layout ----
+        # per-tile edge ranges in the sorted id array (dropped/padding ids
+        # sort past num_segments and are excluded by `last`)
+        per_tile = np.maximum(last - first, 0)
+        tile_chunks = np.maximum((per_tile + te - 1) // te, 1)
+        Cf = int(tile_chunks.sum())
+        owner = np.repeat(np.arange(n_tiles), tile_chunks).astype(np.int32)
+        flat_ids = np.full(Cf * te, num_segments, np.int64)
+        perm_pad = np.full(Cf * te, E, np.int64)
+        starts = np.concatenate([[0], np.cumsum(tile_chunks)]) * te
+        for t in range(n_tiles):
+            cnt = int(per_tile[t])
+            if cnt:
+                s = int(starts[t])
+                flat_ids[s : s + cnt] = sorted_ids[first[t] : last[t]]
+                perm_pad[s : s + cnt] = order[first[t] : last[t]]
+        flat_ids3d = flat_ids.reshape(Cf, te // 128, 128)
         return SortedSegments(
             ids3d=jnp.asarray(ids3d, jnp.int32),
             chunk_first=jnp.asarray(cf, jnp.int32),
             n_chunks=jnp.asarray(n_chunks, jnp.int32),
             perm=None if identity else jnp.asarray(order, jnp.int32),
+            flat_ids3d=jnp.asarray(flat_ids3d, jnp.int32),
+            owner=jnp.asarray(owner, jnp.int32),
+            perm_pad=jnp.asarray(perm_pad, jnp.int32),
             num_segments=num_segments,
             n_ids=E,
             tn=tn,
             te=te,
             max_chunks=max_chunks,
             n_tiles=n_tiles,
+            n_flat_chunks=Cf,
         )
 
 
@@ -165,18 +205,45 @@ def _make_kernel(cache_onehot: bool, two_d: bool = False):
             # form and minimize steps via larger tc (see the VMEM clamp).
             data = data_ref[:]
             dn = (((1,), (0,)), ((), ())) if two_d else (((1,), (1,)), ((), ()))
-            if data.dtype == jnp.bfloat16:
-                onehot = onehot.astype(jnp.bfloat16)
-                prec = jax.lax.Precision.DEFAULT
-            else:
-                prec = jax.lax.Precision.HIGHEST
-            out_ref[:] += jax.lax.dot_general(
-                onehot, data, dn,
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )
+            _dot_accum(out_ref, onehot, data, dn)
 
     return kernel
+
+
+def _dot_accum(out_ref, onehot, data, dn):
+    """out_ref += onehot @ data with the selected MXU precision mode."""
+    import os
+
+    mode = os.environ.get("MGTPU_MXU_PREC", "split3")
+
+    def dot(oh, d, prec):
+        return jax.lax.dot_general(
+            oh, d, dn, preferred_element_type=jnp.float32, precision=prec
+        )
+
+    if data.dtype == jnp.bfloat16:
+        out_ref[:] += dot(
+            onehot.astype(jnp.bfloat16), data, jax.lax.Precision.DEFAULT
+        )
+    elif mode == "split3":
+        # Exact f32 one-hot matmul in 3 MXU passes instead of HIGHEST's 6:
+        # the one-hot lhs is exactly representable in bf16, and f32 data
+        # splits exactly into three bf16 limbs (8+8+8 of the 24 mantissa
+        # bits), so onehot@(hi+mid+lo) with f32 accumulation is bit-exact.
+        oh = onehot.astype(jnp.bfloat16)
+        hi = data.astype(jnp.bfloat16)
+        r1 = data - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        p = jax.lax.Precision.DEFAULT
+        out_ref[:] += dot(oh, hi, p) + dot(oh, mid, p) + dot(oh, lo, p)
+    else:
+        prec = (
+            jax.lax.Precision.DEFAULT
+            if mode == "default"
+            else jax.lax.Precision.HIGHEST
+        )
+        out_ref[:] += dot(onehot, data, prec)
 
 
 def sorted_segment_sum(
@@ -351,6 +418,92 @@ def _sorted_segment_sum_2d(
     return out[: seg.num_segments, :C]
 
 
+def _make_flat_kernel():
+    def kernel(owner_ref, ids_ref, data_ref, out_ref):
+        c = pl.program_id(1)
+        tn = out_ref.shape[0]
+        sub, lane = ids_ref.shape[1], ids_ref.shape[2]
+        te = sub * lane
+        own = owner_ref[c]
+        prev_own = owner_ref[jnp.maximum(c - 1, 0)]
+
+        @pl.when((c == 0) | (own != prev_own))
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        ids = ids_ref[0]  # (te/128, 128)
+        rows = (
+            jax.lax.broadcasted_iota(jnp.int32, (tn, sub, lane), 0) + own * tn
+        )
+        onehot = (ids[None] == rows).astype(jnp.float32).reshape(tn, te)
+        _dot_accum(out_ref, onehot, data_ref[:], (((1,), (0,)), ((), ())))
+
+    return kernel
+
+
+def flat_segment_sum(
+    data: jax.Array,
+    seg: SortedSegments,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Segment-sum of (E_flat, C) data already in seg's FLAT tile-aligned
+    order (compose seg.perm_pad into the producing gather, or use
+    flatten_rows).  One streaming pass over the flat chunks: every grid
+    step DMAs a fresh contiguous (te, tc) block and accumulates into its
+    owner tile — no skipped steps, no boundary re-reads."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Ef, C = data.shape
+    assert Ef == seg.n_flat_chunks * seg.te, (Ef, seg.n_flat_chunks, seg.te)
+    dsize = 2 if data.dtype == jnp.bfloat16 else 4
+
+    def vmem(t):
+        # double-buffered data + out block + split3 limb temporaries
+        limbs = seg.te * t * (4 + 3 * 2) if dsize == 4 else 0
+        return 2 * seg.te * t * dsize + seg.tn * t * 4 + limbs
+
+    C_128 = _round_up(C, 128)
+    tc = C_128
+    while tc > 128 and vmem(tc) > 12 * 1024 * 1024:
+        tc //= 2
+    C_pad = _round_up(C, tc)
+    data = jnp.pad(data, ((0, 0), (0, C_pad - C)))
+    N_pad = seg.n_tiles * seg.tn
+    grid = (C_pad // tc, seg.n_flat_chunks)
+    out = pl.pallas_call(
+        _make_flat_kernel(),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, seg.te // 128, 128), lambda f, c, ow: (c, 0, 0)),
+                pl.BlockSpec((seg.te, tc), lambda f, c, ow: (c, f)),
+            ],
+            out_specs=pl.BlockSpec(
+                (seg.tn, tc), lambda f, c, ow: (ow[c], f)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((N_pad, C_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * seg.n_flat_chunks * seg.te * seg.tn * C_pad
+            * (3 if dsize == 4 else 1),
+            bytes_accessed=Ef * C_pad * dsize + N_pad * C_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(seg.owner, seg.flat_ids3d, data)
+    return out[: seg.num_segments, :C]
+
+
+def flatten_rows(data: jax.Array, seg: SortedSegments) -> jax.Array:
+    """(E, C) rows in ORIGINAL index order -> (E_flat, C) flat tile-aligned
+    order (padding slots -> zero rows) via one XLA gather."""
+    zero = jnp.zeros((1,) + data.shape[1:], data.dtype)
+    return jnp.take(
+        jnp.concatenate([data, zero], axis=0), seg.perm_pad, axis=0
+    )
+
+
 def segment_sum_by(
     data: jax.Array,
     seg: SortedSegments,
@@ -358,7 +511,11 @@ def segment_sum_by(
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Like sorted_segment_sum but data rows are in the ORIGINAL index
-    order; applies seg.perm first (XLA gather — compiles fast)."""
+    order.  2D data rides the flat tile-aligned kernel (the reorder gather
+    doubles as the perm+padding step); 3D falls back to perm + tile-major
+    kernel."""
+    if data.ndim == 2:
+        return flat_segment_sum(flatten_rows(data, seg), seg, interpret)
     if seg.perm is not None:
         data = jnp.take(data, seg.perm, axis=-2)
     return sorted_segment_sum(data, seg, tc, interpret=interpret)

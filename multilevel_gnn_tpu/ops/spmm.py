@@ -30,9 +30,24 @@ from multilevel_gnn_tpu.core.graph import Graph
 from multilevel_gnn_tpu.ops import segment as seg_ops
 from multilevel_gnn_tpu.ops.pallas.segment_sum import (
     SortedSegments,
+    flat_segment_sum,
     segment_sum_by,
     sorted_segment_sum,
 )
+
+
+def _flat_index(idx: jax.Array, seg: SortedSegments) -> jax.Array:
+    """Compose an (E,) row-index array with seg's flat tile-aligned layout:
+    returns (E_flat,) indices (padding slots -> row 0; pair with _flat_w
+    whose padding weight is 0)."""
+    ext = jnp.concatenate([idx, jnp.zeros((1,), idx.dtype)])
+    return jnp.take(ext, seg.perm_pad, axis=0)
+
+
+def _flat_w(w: jax.Array, seg: SortedSegments) -> jax.Array:
+    """(E, 1) edge weights -> (E_flat, 1) in flat order, 0 on padding."""
+    ext = jnp.concatenate([w, jnp.zeros((1,) + w.shape[1:], w.dtype)])
+    return jnp.take(ext, seg.perm_pad, axis=0)
 
 _BACKEND = "xla"
 _DTYPE = None  # None = keep f32; jnp.bfloat16 = cast SpMM data (2x traffic cut)
@@ -102,8 +117,11 @@ def _fused_spmm_sum(x, w, senders, receivers, csr, csc):
     if _DTYPE is not None:
         x2 = x2.astype(_DTYPE)
         w = w.astype(_DTYPE)
-    msg = jnp.take(x2, senders, axis=0) * w  # w: (E, 1) broadcasts over B*C
-    out2 = sorted_segment_sum(msg, csr, tc=512)
+    # compose the flat tile-aligned layout into the gather: padding slots
+    # read row 0 with weight 0, so the flat kernel streams one contiguous
+    # chunk per grid step with zero re-reads
+    msg = jnp.take(x2, _flat_index(senders, csr), axis=0) * _flat_w(w, csr)
+    out2 = flat_segment_sum(msg, csr)
     return _from_2d(out2, bc)
 
 
@@ -119,8 +137,8 @@ def _fused_bwd(res, d_out):
     if _DTYPE is not None:
         g2 = g2.astype(_DTYPE)
         w = w.astype(_DTYPE)
-    g = jnp.take(g2, receivers, axis=0) * w
-    d_x2 = segment_sum_by(g, csc, tc=512)
+    g = jnp.take(g2, _flat_index(receivers, csc), axis=0) * _flat_w(w, csc)
+    d_x2 = flat_segment_sum(g, csc)
     d_x = _from_2d(d_x2, bc)
     if d_x.dtype != d_out.dtype:
         d_x = d_x.astype(d_out.dtype)
@@ -148,7 +166,7 @@ def edge_segment_sum(msg, receivers, mask, csr):
     the edge mask so padding rows get zero cotangents.
     """
     m2, bc = _to_2d(msg)
-    out2 = sorted_segment_sum(m2, csr, tc=512)
+    out2 = segment_sum_by(m2, csr, tc=512)
     return _from_2d(out2, bc)
 
 
