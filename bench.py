@@ -26,17 +26,20 @@ import time
 import numpy as np
 
 
-def timeit(fn, *args, iters=20, warmup=2):
+def timeit_chained(fn, x0, iters=20, warmup=2):
+    """x := fn(x) chained so every iteration sees fresh values — the axon
+    tunnel caches identical executions of pure-XLA programs, so same-input
+    timing loops can report elided (impossibly fast) results."""
     import jax
 
-    out = None
+    x = x0
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        x = fn(x)
+    jax.block_until_ready(x)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        x = fn(x)
+    jax.block_until_ready(x)
     return (time.perf_counter() - t0) / iters
 
 
@@ -58,12 +61,13 @@ def bench_spmm(backend: str):
 
     fn = jax.jit(
         lambda x: spmm.gather_scatter(x, g, "mean", g.edge_attr, backend=backend)
+        + 0.001  # keep chained values finite
     )
     t0 = time.perf_counter()
     out = fn(x)
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - t0
-    dt = timeit(fn, x)
+    dt = timeit_chained(fn, x)
     return B * E / dt, dt, compile_s, out
 
 

@@ -171,7 +171,7 @@ class Graph:
         # te (edge-chunk tile) trades grid steps against VMEM per block:
         # smaller chunks let the 2D kernel take full-width (contiguous-DMA)
         # feature blocks at wide B*C.  Env-tunable for benching.
-        te = int(os.environ.get("MGTPU_TE", "512"))
+        te = int(os.environ.get("MGTPU_TE", "256"))
         csr = SortedSegments.build(recv, self.n_nodes, te=te, mask=mask)
         csc = SortedSegments.build(send, self.n_nodes, te=te, mask=mask)
         deg = np.bincount(recv[mask], minlength=self.n_nodes).astype(np.float32)
