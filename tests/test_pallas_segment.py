@@ -57,3 +57,39 @@ def test_empty_segments_and_skew(rng):
         np.asarray(xla_oracle(jnp.asarray(data)[None], ids, N))[:, 0], 0, 0
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4)
+
+
+def test_flat_layout_edge_cases(rng):
+    from multilevel_gnn_tpu.ops.pallas.segment_sum import (
+        flat_segment_sum,
+        flatten_rows,
+    )
+
+    # every tile owns >= 1 chunk even when empty; owners nondecreasing
+    for E, N in [(5, 700), (300, 120), (0, 256)]:
+        ids = np.sort(rng.randint(0, N, size=E)) if E else np.zeros(0, np.int64)
+        seg = SortedSegments.build(ids, N, tn=128, te=256)
+        own = np.asarray(seg.owner)
+        assert (np.diff(own) >= 0).all()
+        assert set(range(seg.n_tiles)) <= set(own.tolist())
+        data = rng.randn(E, 40).astype(np.float32)
+        got = flat_segment_sum(flatten_rows(jnp.asarray(data), seg), seg,
+                               interpret=True)
+        want = np.zeros((N, 40), np.float32)
+        for i in range(E):
+            want[ids[i]] += data[i]
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4)
+
+
+def test_flat_matches_tile_major_on_skew(rng):
+    from multilevel_gnn_tpu.ops.pallas.segment_sum import flat_segment_sum, flatten_rows
+
+    E, N, C = 2000, 500, 32
+    ids = np.sort(
+        np.concatenate([np.full(E // 2, 7), rng.randint(0, N, size=E - E // 2)])
+    )
+    seg = SortedSegments.build(ids, N, te=256)
+    data = rng.randn(E, C).astype(np.float32)
+    a = flat_segment_sum(flatten_rows(jnp.asarray(data), seg), seg, interpret=True)
+    b = sorted_segment_sum(jnp.asarray(data)[None], seg, interpret=True)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4)
