@@ -129,3 +129,29 @@ def test_pallas_backend_in_conv_and_model(rng):
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), rtol=1e-4, atol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gx)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_bf16_mode_close_to_f32(rng):
+    """set_spmm_dtype(bf16) halves gather+kernel traffic; activations must
+    stay within bf16 rounding of the exact f32 path (the perf lever is only
+    usable if this holds)."""
+    import jax.numpy as jnp
+
+    from multilevel_gnn_tpu.core.graph import Graph
+    from multilevel_gnn_tpu.ops import spmm
+
+    E, N, B, C = 1500, 300, 4, 32
+    g = Graph.from_edges(
+        rng.randint(0, N, size=(2, E)), rng.rand(E).astype("float32"), N
+    ).with_sorted_meta()
+    x = jnp.asarray(rng.randn(B, N, C).astype("float32"))
+    ref = spmm.gather_scatter(x, g, "mean", g.edge_attr, backend="pallas")
+    spmm.set_spmm_dtype(jnp.bfloat16)
+    try:
+        got = spmm.gather_scatter(x, g, "mean", g.edge_attr, backend="pallas")
+    finally:
+        spmm.set_spmm_dtype(None)
+    assert got.dtype == ref.dtype
+    scale = float(jnp.max(jnp.abs(ref)))
+    err = float(jnp.max(jnp.abs(got - ref)))
+    assert err < 0.03 * scale, (err, scale)
