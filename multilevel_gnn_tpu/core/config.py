@@ -238,6 +238,7 @@ class Config:
     spmm_bf16: bool = False  # cast SpMM messages to bf16 (pallas path)
     mesh_data_axis: int = 1  # data-parallel mesh size
     mesh_model_axis: int = 1  # edge-partition mesh size
+    ckpt_every: int = 0  # save {params,opt_state,loop} every N epochs (0=off)
     pathway_edge_num: int = 0  # set by the data pipeline (onehot edge count)
 
     def replace(self, **kw) -> "Config":

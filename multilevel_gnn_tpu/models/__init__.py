@@ -12,7 +12,8 @@ def get_model(name: str):
         "multilevel_gnn_seq": multilevel_gnn.MultilevelGNN,  # seq refactor == same math
         "pathcnn": pathcnn.PathCNN,
         "deepergcn": deepergcn.DeeperGCN,
-        "mulitomix_gcn": multiomix.MultiOmixGCN,  # (sic) reference key spelling
+        "multiomix": multiomix.MultiOmixGCN,  # reference key (models/__init__.py:13)
+        "mulitomix_gcn": multiomix.MultiOmixGCN,  # legacy alias (kept for configs)
         "multiomix_gcn": multiomix.MultiOmixGCN,
         "autoencoder": autoencoder.AutoEncoder,
         "vae": vae.VAE,

@@ -85,21 +85,28 @@ def shard_batch(batch: Batch, mesh: Mesh) -> Batch:
 
 
 def shard_ctx(ctx: FoldContext, mesh: Mesh, pad_multiple: int = 1) -> FoldContext:
-    """Pad edge arrays to a multiple of the model-axis size, then shard."""
+    """Pad edge arrays to a multiple of the model-axis size, then shard.
+
+    The Pallas sorted-segment metadata (csr/csc) is stripped: pallas_call has
+    no GSPMD partitioning rule, so the mesh path aggregates via XLA
+    gather/segment ops and XLA-inserted collectives.  In-shard Pallas kernels
+    belong to the manual shard_map path (parallel/edge_partition.py).  The
+    host-precomputed in-degree is kept (replicated) so degree lookups stay
+    scatter-free."""
+    import dataclasses as _dc
+
     n_model = mesh.shape["model"]
     g = ctx.graph
     E = g.num_padded_edges
     target = ((E + n_model - 1) // n_model) * n_model
     if target != E:
+        in_deg = g.in_deg
         g = g.pad_edges_to(target)
-        ctx = FoldContext(
-            graph=g,
-            gene_pca_match=ctx.gene_pca_match,
-            raw_indice=ctx.raw_indice,
-            info_mask=ctx.info_mask,
-            reorder_idxs=ctx.reorder_idxs,
-            pca_seed=ctx.pca_seed,
-        )
+        g = _dc.replace(g, in_deg=in_deg)
+    if g.csr is not None or g.csc is not None:
+        g = _dc.replace(g, csr=None, csc=None)
+    if g is not ctx.graph:
+        ctx = _dc.replace(ctx, graph=g)
     return _to_sharding(mesh, ctx_spec(ctx), ctx)
 
 
@@ -108,28 +115,39 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda v: jax.device_put(v, s), tree)
 
 
+def maybe_make_mesh(cfg) -> Optional[Mesh]:
+    """Build the configured ('data', 'model') mesh, or None when the config
+    asks for a 1x1 mesh (single-device path).  The driver calls this once
+    per experiment (train/driver.py)."""
+    n_data = getattr(cfg, "mesh_data_axis", 1)
+    n_model = getattr(cfg, "mesh_model_axis", 1)
+    if n_data * n_model <= 1:
+        return None
+    return make_mesh(n_data, n_model)
+
+
 def make_parallel_train_step(model, cfg, mesh: Mesh, optimizer):
     """Global-view jitted train step with mesh shardings (GSPMD).
 
     Batch rides the 'data' axis, edges the 'model' axis; XLA partitions the
     gather/segment-sum aggregation and inserts psum/all-reduce collectives.
+    The loss is the SAME builder as the single-device step
+    (train/step.py:make_loss_fn), so extra losses (DiffPool) and the
+    PCA-less families (DeeperGCN / MultiOmixGCN) behave identically.
     """
-    from multilevel_gnn_tpu.train.step import classification_loss
-    from multilevel_gnn_tpu.models.multilevel_gnn import get_feature_loss
+    import optax
 
-    def loss_fn(params, batch, ctx, class_weight, rng):
-        pred, feat = model.apply(params, batch, ctx, True, rngs={"dropout": rng})
-        loss = classification_loss(pred, batch.y, class_weight, batch.sample_mask, cfg)
-        pca = params["params"]["learnable_pca_params"]
-        return loss + get_feature_loss(pca, ctx, feat, cfg, batch.sample_mask)
+    from multilevel_gnn_tpu.train.step import make_loss_fn
+
+    loss_fn = make_loss_fn(model, cfg)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, ctx, class_weight, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, ctx, class_weight, rng
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     return step

@@ -51,7 +51,8 @@ def latest_step(path: str) -> Optional[int]:
     steps = [
         int(d.split("_")[1])
         for d in os.listdir(path)
-        if d.startswith("step_") and not d.endswith(".json")
+        if d.startswith("step_") and d.split("_")[1].isdigit()
+        and os.path.isdir(os.path.join(path, d))
     ]
     return max(steps) if steps else None
 

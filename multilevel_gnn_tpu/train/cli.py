@@ -28,6 +28,18 @@ def main(argv=None):
         help="reconstruction-pretrain the encoder first, then fine-tune",
     )
     ap.add_argument("--pretrain-epochs", type=int, default=None)
+    ap.add_argument(
+        "--mesh", default=None, metavar="DxM",
+        help="device mesh, e.g. 4x2 = 4-way data x 2-way edge partition",
+    )
+    ap.add_argument(
+        "--ckpt-dir", default=None,
+        help="checkpoint dir (enables periodic save; see --set ckpt_every=N)",
+    )
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="resume an interrupted experiment from --ckpt-dir",
+    )
     ap.add_argument("--set", nargs="*", default=[], help="key=value overrides")
     args = ap.parse_args(argv)
 
@@ -53,6 +65,13 @@ def main(argv=None):
     cfg = Config.from_yaml(args.config, **overrides)
     if args.debug:
         cfg = cfg.replace(num_run=1, epochs=5, batch_size=8)
+    if args.mesh:
+        d, m = (int(v) for v in args.mesh.lower().split("x"))
+        cfg = cfg.replace(mesh_data_axis=d, mesh_model_axis=m)
+    if args.resume and not args.ckpt_dir:
+        ap.error("--resume requires --ckpt-dir")
+    if args.ckpt_dir and cfg.ckpt_every == 0:
+        cfg = cfg.replace(ckpt_every=5)
     configure_backend(cfg)
 
     if args.synthetic:
@@ -83,6 +102,7 @@ def main(argv=None):
     results = run_experiment(
         cfg, cohort, pretrain=args.pretrain,
         pretrain_epochs=args.pretrain_epochs,
+        ckpt_dir=args.ckpt_dir, resume=args.resume,
     )
     final_e = results["check_epochs"][-1]
     print(

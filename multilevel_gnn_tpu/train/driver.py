@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import math
+import os
 import time
 from typing import Dict, List, Optional
 
@@ -118,13 +119,18 @@ class FoldResult:
     epoch_pred_by_epoch: Dict[int, np.ndarray]
 
 
-def evaluate(fns, params, ctx, X, Y, ages, idxs, batch_size, raw=None):
+def evaluate(fns, params, ctx, X, Y, ages, idxs, batch_size, raw=None,
+             mesh=None):
     preds, losses = [], []
     rng = np.random.RandomState(0)
     for batch in iter_batches(
         X, Y, ages, idxs, batch_size, rng, shuffle=False, drop_last=False,
         raw=raw,
     ):
+        if mesh is not None:
+            from multilevel_gnn_tpu.parallel import shard_batch
+
+            batch = shard_batch(batch, mesh)
         pred, loss = fns.eval_step(params, batch, ctx)
         m = np.asarray(batch.sample_mask)
         preds.append(np.asarray(pred)[m])
@@ -162,6 +168,10 @@ def run_fold(
     run_i: int,
     check_epochs: List[int],
     pretrained_params=None,
+    mesh=None,
+    ckpt_dir: Optional[str] = None,
+    resume: bool = False,
+    interrupt_after: Optional[int] = None,
 ) -> FoldResult:
     gene_level = cfg.model in ("deepergcn",)
     if gene_level:
@@ -192,6 +202,13 @@ def run_fold(
         if cfg.model == "pathcnn" and not cfg.learnable_pca:
             raw = raw.reshape(len(cohort.patients), -1)
     ctx = fold.ctx
+    if mesh is not None:
+        from multilevel_gnn_tpu.parallel import shard_ctx
+
+        assert cfg.batch_size % mesh.shape["data"] == 0, (
+            cfg.batch_size, dict(mesh.shape),
+        )
+        ctx = shard_ctx(ctx, mesh)
 
     Y, ages = cohort.Y, cohort.ages
     steps_per_epoch = max(len(train_idx) // cfg.batch_size, 1)
@@ -214,7 +231,17 @@ def run_fold(
 
         params = transfer_pretrained(pretrained_params, params)
 
+    if mesh is not None:
+        from multilevel_gnn_tpu.parallel import replicate
+
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+
     class_weight = jnp.asarray(fold.class_weight, jnp.float32)
+    if mesh is not None:
+        from multilevel_gnn_tpu.parallel import replicate
+
+        class_weight = replicate(class_weight, mesh)
     sampler_weights = None
     if cfg.class_sample:
         labels = cohort.labels()[np.asarray(train_idx)]
@@ -241,11 +268,38 @@ def run_fold(
         else None
     )
     step_i = 0
-    for epoch in range(1, cfg.epochs + 1):
+    start_epoch = 1
+    fold_tag = f"run{run_i}_fold{fold_i}"
+    if ckpt_dir is not None and resume:
+        from multilevel_gnn_tpu.train import checkpoint as C
+
+        tag_dir = os.path.join(ckpt_dir, fold_tag)
+        last = C.latest_step(tag_dir)
+        if last is not None:
+            tree, _ = C.load_checkpoint(
+                tag_dir, {"params": params, "opt_state": opt_state}, last
+            )
+            params, opt_state = tree["params"], tree["opt_state"]
+            host = np.load(
+                os.path.join(tag_dir, f"step_{last}.host.npy"),
+                allow_pickle=True,
+            ).item()
+            results = host["results"]
+            y_true_test = host["y_true_test"]
+            step_i = host["step_i"]
+            np_rng.set_state(host["np_rng_state"])
+            start_epoch = last + 1
+            log.info("resumed %s at epoch %d", fold_tag, last)
+
+    for epoch in range(start_epoch, cfg.epochs + 1):
         for batch in iter_batches(
             X, Y, ages, train_idx, cfg.batch_size, np_rng, shuffle, drop_last,
             sampler_weights, variation, raw=raw,
         ):
+            if mesh is not None:
+                from multilevel_gnn_tpu.parallel import shard_batch
+
+                batch = shard_batch(batch, mesh)
             step_rng = jax.random.fold_in(rng_key, step_i)
             params, opt_state, loss = fns.train_step(
                 params, opt_state, batch, ctx, class_weight, step_rng
@@ -253,10 +307,12 @@ def run_fold(
             step_i += 1
 
         valid_auc, valid_acc, _, _, valid_loss = evaluate(
-            fns, params, ctx, X, Y, ages, valid_idx, cfg.batch_size, raw=raw
+            fns, params, ctx, X, Y, ages, valid_idx, cfg.batch_size, raw=raw,
+            mesh=mesh,
         )
         test_auc, test_acc, y_true_test, test_score, test_loss = evaluate(
-            fns, params, ctx, X, Y, ages, test_idx, cfg.batch_size, raw=raw
+            fns, params, ctx, X, Y, ages, test_idx, cfg.batch_size, raw=raw,
+            mesh=mesh,
         )
         valid_eval = valid_auc if cfg.metrics == "auc" else valid_acc
         if valid_loss < results["highest_valid_loss"]:
@@ -281,6 +337,35 @@ def run_fold(
             "run %d fold %d epoch %d: valid auc %.4f test auc %.4f loss %.4f",
             run_i, fold_i, epoch, valid_auc, test_auc, valid_loss,
         )
+        want_interrupt = interrupt_after is not None and interrupt_after[0] == 1
+        if ckpt_dir is not None and (
+            (cfg.ckpt_every > 0 and epoch % cfg.ckpt_every == 0)
+            or want_interrupt
+        ):
+            from multilevel_gnn_tpu.train import checkpoint as C
+
+            tag_dir = os.path.join(ckpt_dir, fold_tag)
+            C.save_checkpoint(
+                tag_dir, params, opt_state,
+                loop_state={"run": run_i, "fold": fold_i, "epoch": epoch},
+                step=epoch,
+            )
+            np.save(
+                os.path.join(tag_dir, f"step_{epoch}.host.npy"),
+                {
+                    "results": results,
+                    "y_true_test": y_true_test,
+                    "step_i": step_i,
+                    "np_rng_state": np_rng.get_state(),
+                },
+                allow_pickle=True,
+            )
+        if interrupt_after is not None:
+            interrupt_after[0] -= 1
+            if interrupt_after[0] <= 0:
+                raise KeyboardInterrupt(
+                    f"interrupted at {fold_tag} epoch {epoch} (test hook)"
+                )
 
     return FoldResult(
         y_true=y_true_test,
@@ -293,12 +378,26 @@ def run_fold(
 def run_experiment(
     cfg: Config, cohort: Cohort, pretrained_params=None,
     pretrain: Optional[str] = None, pretrain_epochs: Optional[int] = None,
+    ckpt_dir: Optional[str] = None, resume: bool = False,
+    interrupt_after: Optional[list] = None,
 ) -> Dict:
     """Full num_run x 5-fold protocol with pooled check-epoch scoring.
 
     pretrain: 'autoencoder' | 'vae' | 'vq_vae' — run reconstruction
     pretraining on the cohort first and transfer the encoder into every
-    fold's init (the reference's load_autoencoder_ckpt workflow)."""
+    fold's init (the reference's load_autoencoder_ckpt workflow).
+
+    ckpt_dir + cfg.ckpt_every>0: periodic orbax checkpoints of
+    {params, opt_state} plus host loop state per (run, fold); completed
+    folds persist their FoldResult.  resume=True restarts an interrupted
+    experiment deterministically: completed folds are loaded from disk,
+    the interrupted fold resumes at its last checkpointed epoch with the
+    exact numpy RNG state (reference utils/ckpt_util.py:9-104 role,
+    SURVEY.md §5.3/5.4).  interrupt_after=[n] is a test hook: raise
+    KeyboardInterrupt after n epochs of training (counted across folds)."""
+    from multilevel_gnn_tpu.parallel.mesh import maybe_make_mesh
+
+    mesh = maybe_make_mesh(cfg)
     if pretrain is not None and pretrained_params is None:
         from multilevel_gnn_tpu.train.pretrain import pretrain_autoencoder
 
@@ -326,10 +425,24 @@ def run_experiment(
             )
             tr, va = inner[0]
             train_idx, valid_idx = tune[tr], tune[va]
-            fr = run_fold(
-                cfg, cohort, train_idx, valid_idx, test_idx, fold_i, run_i,
-                check_epochs, pretrained_params,
+            done_path = (
+                os.path.join(ckpt_dir, f"result_run{run_i}_fold{fold_i}.npy")
+                if ckpt_dir is not None
+                else None
             )
+            if resume and done_path is not None and os.path.exists(done_path):
+                fr = np.load(done_path, allow_pickle=True).item()
+                log.info("run %d fold %d: loaded completed result", run_i, fold_i)
+            else:
+                fr = run_fold(
+                    cfg, cohort, train_idx, valid_idx, test_idx, fold_i, run_i,
+                    check_epochs, pretrained_params, mesh=mesh,
+                    ckpt_dir=ckpt_dir, resume=resume,
+                    interrupt_after=interrupt_after,
+                )
+                if done_path is not None:
+                    os.makedirs(ckpt_dir, exist_ok=True)
+                    np.save(done_path, fr, allow_pickle=True)
             fold_results.append(fr)
         y = np.concatenate([fr.y_true for fr in fold_results])
         for e in check_epochs:

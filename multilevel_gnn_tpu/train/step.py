@@ -122,9 +122,12 @@ class TrainFns:
     init_state: Callable
 
 
-def build_train_fns(model, cfg: Config) -> TrainFns:
-    """Build jitted train/eval steps for a model following the uniform
-    protocol apply(params, batch, ctx, training) -> (pred, aux)."""
+def make_loss_fn(model, cfg: Config) -> Callable:
+    """The ONE training loss builder — used by both the single-device step
+    (build_train_fns) and the mesh-parallel step (parallel/mesh.py), so the
+    two paths cannot diverge.  Handles every model family: extra losses
+    (DiffPool link/entropy via out[2]) and the learnable-PCA feature losses
+    (absent for DeeperGCN / MultiOmixGCN — aux None / no PCA leaf)."""
 
     def loss_fn(params, batch: Batch, ctx: FoldContext, class_weight, rng):
         out = model.apply(params, batch, ctx, True, rngs={"dropout": rng})
@@ -142,6 +145,15 @@ def build_train_fns(model, cfg: Config) -> TrainFns:
                 pca_params, ctx, feat, cfg, batch.sample_mask
             )
         return loss, pred
+
+    return loss_fn
+
+
+def build_train_fns(model, cfg: Config) -> TrainFns:
+    """Build jitted train/eval steps for a model following the uniform
+    protocol apply(params, batch, ctx, training) -> (pred, aux)."""
+
+    loss_fn = make_loss_fn(model, cfg)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, ctx, class_weight, rng):
