@@ -91,6 +91,8 @@ class GenAggregate(nn.Module):
         if self.aggr == "mean":
             return segmean(msg)
         if self.aggr == "max":
+            if pallas:
+                return spmm.edge_segment_max(msg, recv, mask, graph.csr)
             return seg.segment_max(msg, recv, n, mask=mask)
         if self.aggr in SOFTMAX_AGGRS:
             def softmax_w(z):
@@ -350,14 +352,25 @@ class GATConv(nn.Module):
             a_dst, graph.receivers
         )
         alpha = jax.nn.leaky_relu(alpha, self.negative_slope)
-        alpha = seg.segment_softmax(
-            alpha, graph.receivers, graph.n_nodes, mask=graph.edge_mask
-        )
-        msg = spmm.gather(xw, graph.senders, axis=-3) * alpha[..., None]
-        flat = msg.reshape(msg.shape[:-2] + (H * D,))
-        out = seg.segment_sum(
-            flat, graph.receivers, graph.n_nodes, mask=graph.edge_mask
-        )
+        if spmm.get_backend() == "pallas" and graph.csr is not None:
+            # scatter-free: Pallas softmax weights + Pallas segment-sum
+            # (replaces torch_scatter's scatter_softmax/scatter_add behind
+            # PyG GATConv — reference torch_vertex.py:207-223)
+            alpha = spmm.segment_softmax_weights(alpha, graph)
+            msg = spmm.gather(xw, graph.senders, axis=-3) * alpha[..., None]
+            flat = msg.reshape(msg.shape[:-2] + (H * D,))
+            out = spmm.edge_segment_sum(
+                flat, graph.receivers, graph.edge_mask, graph.csr
+            )
+        else:
+            alpha = seg.segment_softmax(
+                alpha, graph.receivers, graph.n_nodes, mask=graph.edge_mask
+            )
+            msg = spmm.gather(xw, graph.senders, axis=-3) * alpha[..., None]
+            flat = msg.reshape(msg.shape[:-2] + (H * D,))
+            out = seg.segment_sum(
+                flat, graph.receivers, graph.n_nodes, mask=graph.edge_mask
+            )
         if self.use_bias:
             b = self.param("bias", jax.nn.initializers.zeros, (H * D,))
             out = out + b
@@ -402,9 +415,14 @@ class MRConv(nn.Module):
     @nn.compact
     def __call__(self, x, graph: Graph, edge_attr=None, training: bool = False):
         diff = spmm.gather(x, graph.senders) - spmm.gather(x, graph.receivers)
-        agg = seg.segment_max(
-            diff, graph.receivers, graph.n_nodes, mask=graph.edge_mask
-        )
+        if spmm.get_backend() == "pallas" and graph.csr is not None:
+            agg = spmm.edge_segment_max(
+                diff, graph.receivers, graph.edge_mask, graph.csr
+            )
+        else:
+            agg = seg.segment_max(
+                diff, graph.receivers, graph.n_nodes, mask=graph.edge_mask
+            )
         h = jnp.concatenate([x, agg], axis=-1)
         return MLP(
             [2 * self.in_channels, self.out_channels],
@@ -437,6 +455,10 @@ class EdgeConv(nn.Module):
             use_bias=self.use_bias,
             name="nn",
         )(msg, training)
+        if spmm.get_backend() == "pallas" and graph.csr is not None:
+            return spmm.edge_segment_max(
+                msg, graph.receivers, graph.edge_mask, graph.csr
+            )
         return seg.segment_max(
             msg, graph.receivers, graph.n_nodes, mask=graph.edge_mask
         )

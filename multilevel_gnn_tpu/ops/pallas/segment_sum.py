@@ -210,8 +210,8 @@ def _make_kernel(cache_onehot: bool, two_d: bool = False):
     return kernel
 
 
-def _dot_accum(out_ref, onehot, data, dn):
-    """out_ref += onehot @ data with the selected MXU precision mode."""
+def _dot_product(onehot, data, dn):
+    """onehot @ data with the selected MXU precision mode (exact for f32)."""
     import os
 
     mode = os.environ.get("MGTPU_MXU_PREC", "split3")
@@ -222,10 +222,10 @@ def _dot_accum(out_ref, onehot, data, dn):
         )
 
     if data.dtype == jnp.bfloat16:
-        out_ref[:] += dot(
+        return dot(
             onehot.astype(jnp.bfloat16), data, jax.lax.Precision.DEFAULT
         )
-    elif mode == "split3":
+    if mode == "split3":
         # Exact f32 one-hot matmul in 3 MXU passes instead of HIGHEST's 6:
         # the one-hot lhs is exactly representable in bf16, and f32 data
         # splits exactly into three bf16 limbs (8+8+8 of the 24 mantissa
@@ -236,14 +236,18 @@ def _dot_accum(out_ref, onehot, data, dn):
         mid = r1.astype(jnp.bfloat16)
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
         p = jax.lax.Precision.DEFAULT
-        out_ref[:] += dot(oh, hi, p) + dot(oh, mid, p) + dot(oh, lo, p)
-    else:
-        prec = (
-            jax.lax.Precision.DEFAULT
-            if mode == "default"
-            else jax.lax.Precision.HIGHEST
-        )
-        out_ref[:] += dot(onehot, data, prec)
+        return dot(oh, hi, p) + dot(oh, mid, p) + dot(oh, lo, p)
+    prec = (
+        jax.lax.Precision.DEFAULT
+        if mode == "default"
+        else jax.lax.Precision.HIGHEST
+    )
+    return dot(onehot, data, prec)
+
+
+def _dot_accum(out_ref, onehot, data, dn):
+    """out_ref += onehot @ data with the selected MXU precision mode."""
+    out_ref[:] += _dot_product(onehot, data, dn)
 
 
 def sorted_segment_sum(

@@ -34,6 +34,8 @@ from multilevel_gnn_tpu.ops.pallas.segment_sum import (
     segment_sum_by,
     sorted_segment_sum,
 )
+from multilevel_gnn_tpu.ops.pallas import segment_max as pmax
+from multilevel_gnn_tpu.ops.pallas import spmm as pallas_spmm
 
 
 def _flat_index(idx: jax.Array, seg: SortedSegments) -> jax.Array:
@@ -51,6 +53,17 @@ def _flat_w(w: jax.Array, seg: SortedSegments) -> jax.Array:
 
 _BACKEND = "xla"
 _DTYPE = None  # None = keep f32; jnp.bfloat16 = cast SpMM data (2x traffic cut)
+# gather-in-kernel fused SpMM (ops/pallas/spmm.py): eliminates the HBM
+# message round trip but pays per-row DMA issue cost — opt-in until the
+# hardware bench decides (MGTPU_FUSED=1 or set_fused(True); STATUS.md).
+import os as _os
+
+_FUSED = _os.environ.get("MGTPU_FUSED", "0") == "1"
+
+
+def set_fused(enabled: bool) -> None:
+    global _FUSED
+    _FUSED = bool(enabled)
 
 
 def set_backend(name: str) -> None:
@@ -117,12 +130,22 @@ def _fused_spmm_sum(x, w, senders, receivers, csr, csc):
     if _DTYPE is not None:
         x2 = x2.astype(_DTYPE)
         w = w.astype(_DTYPE)
+    if _FUSED and _fused_fits(csr, x2):
+        out2 = pallas_spmm.gather_segment_sum(
+            x2, _flat_index(senders, csr), _flat_w(w, csr), csr
+        )
+        return _from_2d(out2, bc)
     # compose the flat tile-aligned layout into the gather: padding slots
     # read row 0 with weight 0, so the flat kernel streams one contiguous
     # chunk per grid step with zero re-reads
     msg = jnp.take(x2, _flat_index(senders, csr), axis=0) * _flat_w(w, csr)
     out2 = flat_segment_sum(msg, csr)
     return _from_2d(out2, bc)
+
+
+def _fused_fits(seg: SortedSegments, x2: jax.Array) -> bool:
+    c_pad = ((x2.shape[1] + 127) // 128) * 128
+    return pallas_spmm.vmem_need(seg.te, c_pad, x2.dtype) <= 12 * 1024 * 1024
 
 
 def _fused_fwd(x, w, senders, receivers, csr, csc):
@@ -137,8 +160,13 @@ def _fused_bwd(res, d_out):
     if _DTYPE is not None:
         g2 = g2.astype(_DTYPE)
         w = w.astype(_DTYPE)
-    g = jnp.take(g2, _flat_index(receivers, csc), axis=0) * _flat_w(w, csc)
-    d_x2 = flat_segment_sum(g, csc)
+    if _FUSED and _fused_fits(csc, g2):
+        d_x2 = pallas_spmm.gather_segment_sum(
+            g2, _flat_index(receivers, csc), _flat_w(w, csc), csc
+        )
+    else:
+        g = jnp.take(g2, _flat_index(receivers, csc), axis=0) * _flat_w(w, csc)
+        d_x2 = flat_segment_sum(g, csc)
     d_x = _from_2d(d_x2, bc)
     if d_x.dtype != d_out.dtype:
         d_x = d_x.astype(d_out.dtype)
@@ -188,6 +216,51 @@ def _ess_bwd(res, d_out):
 
 
 edge_segment_sum.defvjp(_ess_fwd, _ess_bwd)
+
+
+@jax.custom_vjp
+def edge_segment_max(msg, receivers, mask, csr):
+    """Segment-max of edge values into receivers with a scatter-free Pallas
+    forward (ops/pallas/segment_max.py) and a gather-only backward.
+
+    msg: (.., E, C); returns (.., N, C); empty segments -> 0 (torch_scatter
+    zero-fill, reference utils/pyg_util.py:30-31).  Backward routes the
+    cotangent to every edge equal to its segment's max (ties each receive
+    the full cotangent — torch_scatter routes to a single argmax; equal-tie
+    graphs are measure-zero for float features, divergence documented in
+    docs/PARITY.md).
+    """
+    m2, bc = _to_2d(msg)
+    out2 = pmax.segment_max_by(m2, csr)
+    return _from_2d(out2, bc)
+
+
+def _esm_fwd(msg, receivers, mask, csr):
+    out = edge_segment_max(msg, receivers, mask, csr)
+    return out, (msg, out, receivers, mask, csr)
+
+
+def _esm_bwd(res, d_out):
+    msg, out, receivers, mask, csr = res
+    m2, bc = _to_2d(msg)
+    o2, _ = _to_2d(out)
+    g2, _ = _to_2d(d_out)
+    sel = (m2 == jnp.take(o2, receivers, axis=0)) & mask[:, None]
+    d2 = jnp.where(sel, jnp.take(g2, receivers, axis=0), 0.0)
+    return (
+        _from_2d(d2, bc),
+        np.zeros(receivers.shape, jax.dtypes.float0),
+        np.zeros(mask.shape, jax.dtypes.float0),
+        _float0_zeros(csr),
+    )
+
+
+edge_segment_max.defvjp(_esm_fwd, _esm_bwd)
+
+
+def edge_segment_min(msg, receivers, mask, csr):
+    """min(x) = -max(-x) with the same empty->0 fill (0 == -0)."""
+    return -edge_segment_max(-msg, receivers, mask, csr)
 
 
 def segment_softmax_weights(z, graph: Graph):
@@ -272,6 +345,17 @@ def gather_scatter(
         return _fused_spmm_sum(
             x, w, graph.senders, graph.receivers, graph.csr, graph.csc
         )
+    if (
+        backend == "pallas"
+        and graph.csr is not None
+        and reduce in ("max", "min")
+    ):
+        msg = gather_rows(x, graph.senders, graph.csc)
+        if edge_weight is not None:
+            w = edge_weight if edge_weight.ndim > 1 else edge_weight[:, None]
+            msg = msg * w
+        fn = edge_segment_max if reduce == "max" else edge_segment_min
+        return fn(msg, graph.receivers, graph.edge_mask, graph.csr)
     msg = gather(x, graph.senders)
     if edge_weight is not None:
         w = edge_weight
