@@ -43,7 +43,12 @@ _NEG = -3.0e38  # below any f32 data; identity for the max accumulation
 
 
 def _make_flat_max_kernel():
-    def kernel(owner_ref, ids_ref, data_ref, out_ref):
+    """ids arrive in TWO layouts: (1, te/128, 128) for the one-hot build and
+    (te, 1) column form for the row-aligned shift compares — Mosaic cannot
+    relayout (sub, lane) -> (te, 1) in-kernel ('unsupported shape cast',
+    measured on the target TPU), so the column copy is a separate input."""
+
+    def kernel(owner_ref, ids_ref, idcol_ref, data_ref, out_ref):
         c = pl.program_id(1)
         tn = out_ref.shape[0]
         sub, lane = ids_ref.shape[1], ids_ref.shape[2]
@@ -55,8 +60,8 @@ def _make_flat_max_kernel():
         def _():
             out_ref[:] = jnp.full_like(out_ref, _NEG)
 
-        ids2d = ids_ref[0]  # (sub, lane)
-        ids_col = ids2d.reshape(te, 1)  # row-aligned with data
+        ids2d = ids_ref[0]  # (sub, lane) — one-hot layout
+        ids_col = idcol_ref[:]  # (te, 1) — row-aligned with data
         data = data_ref[:]  # (te, tc)
 
         # 1. segmented prefix-max (ids sorted => runs are contiguous)
@@ -73,18 +78,23 @@ def _make_flat_max_kernel():
             acc = jnp.where(ids_col == sh_ids, jnp.maximum(acc, sh_acc), acc)
             d *= 2
 
-        # 2. run-end one-hot selection onto the owner tile
+        # 2. run-end selection via VALUE masking (stays in (te, .) layout):
+        #    zero all non-run-end rows, then the plain one-hot matmul sums
+        #    exactly one non-zero row per (tile-row, chunk) => the run max.
         nxt = jnp.concatenate(
-            [ids_col[1:], jnp.full((1, 1), -2, ids_col.dtype)], axis=0
+            [ids_col[1:], jnp.full((1, 1), ids_col.dtype.type(-2))], axis=0
         )
-        last = (ids_col != nxt).reshape(sub, lane)
+        last = ids_col != nxt  # (te, 1) — one True per run
+        acc_sel = jnp.where(last, acc, 0.0)
         rows = (
             jax.lax.broadcasted_iota(jnp.int32, (tn, sub, lane), 0) + own * tn
         )
-        onehot = ((ids2d[None] == rows) & last[None]).astype(jnp.float32)
-        onehot = onehot.reshape(tn, te)
-        present = jnp.sum(onehot, axis=1, keepdims=True)  # (tn, 1) in {0,1}
-        contrib = _dot_product(onehot, acc, (((1,), (0,)), ((), ())))
+        onehot = (ids2d[None] == rows).astype(jnp.float32).reshape(tn, te)
+        contrib = _dot_product(onehot, acc_sel, (((1,), (0,)), ((), ())))
+        # present[r] = 1 iff tile-row r has a run-end in this chunk
+        present = _dot_product(
+            onehot, last.astype(jnp.float32), (((1,), (0,)), ((), ()))
+        )
         contrib = contrib + (1.0 - present) * _NEG
 
         # 3. max-accumulate into the owner tile
@@ -120,6 +130,7 @@ def flat_segment_max(
     data = jnp.pad(data, ((0, 0), (0, C_pad - C)))
     N_pad = seg.n_tiles * seg.tn
     grid = (C_pad // tc, seg.n_flat_chunks)
+    idcol = seg.flat_ids3d.reshape(seg.n_flat_chunks * seg.te, 1)
     out = pl.pallas_call(
         _make_flat_max_kernel(),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -127,6 +138,7 @@ def flat_segment_max(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, seg.te // 128, 128), lambda f, c, ow: (c, 0, 0)),
+                pl.BlockSpec((seg.te, 1), lambda f, c, ow: (c, 0)),
                 pl.BlockSpec((seg.te, tc), lambda f, c, ow: (c, f)),
             ],
             out_specs=pl.BlockSpec(
@@ -140,7 +152,7 @@ def flat_segment_max(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(seg.owner, seg.flat_ids3d, data)
+    )(seg.owner, seg.flat_ids3d, idcol, data)
     out = out[: seg.num_segments, :C]
     return jnp.where(out < _NEG / 2, 0.0, out)
 

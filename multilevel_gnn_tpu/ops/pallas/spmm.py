@@ -55,6 +55,10 @@ def _make_gather_kernel(te: int):
         slot = jax.lax.rem(c, 2)
         nxt_slot = jax.lax.rem(c + 1, 2)
 
+        # Mosaic's fori_loop lowering supports only unroll=1 or a full
+        # unroll (unroll == num_steps) — unroll=8 raised NotImplementedError
+        # on hardware.  The issue loop is scalar-core bound, so full unroll
+        # (te straight-line DMA starts) is what we want anyway.
         def issue(src_ref, s):
             def body(e, _):
                 idx = src_ref[e]
@@ -63,7 +67,7 @@ def _make_gather_kernel(te: int):
                 ).start()
                 return 0
 
-            jax.lax.fori_loop(0, te, body, 0, unroll=8)
+            jax.lax.fori_loop(0, te, body, 0, unroll=te)
 
         def drain(s):
             def body(e, _):
@@ -72,7 +76,7 @@ def _make_gather_kernel(te: int):
                 ).wait()
                 return 0
 
-            jax.lax.fori_loop(0, te, body, 0, unroll=8)
+            jax.lax.fori_loop(0, te, body, 0, unroll=te)
 
         # warm-up: synchronously fetch chunk 0 into slot 0
         @pl.when(c == 0)

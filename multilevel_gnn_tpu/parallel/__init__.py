@@ -6,3 +6,8 @@ from multilevel_gnn_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     make_parallel_train_step,
 )
+from multilevel_gnn_tpu.parallel.halo import (  # noqa: F401
+    HaloPartition,
+    build_halo_partition,
+    halo_gather_scatter,
+)

@@ -31,10 +31,24 @@ def edge_partitioned_gather_scatter(
     reduce: str = "sum",
     edge_weight: Optional[jax.Array] = None,
     axis: str = "model",
+    halo_partition=None,
 ) -> jax.Array:
     """out[dst] = reduce_e x[src[e]] * w[e], edges sharded on `axis`.
 
-    x replicated; returns replicated (.., N, C)."""
+    x replicated; returns replicated (.., N, C) — or, when a
+    HaloPartition is given (parallel/halo.py), routes through the
+    boundary-only all_to_all exchange and returns the node-sharded
+    global-view result (§5.7 optimization; sum/mean only)."""
+    if halo_partition is not None and reduce in ("sum", "add", "mean"):
+        from multilevel_gnn_tpu.parallel.halo import (
+            halo_gather_scatter,
+            pad_nodes_for,
+        )
+
+        return halo_gather_scatter(
+            pad_nodes_for(x, halo_partition), halo_partition, mesh, reduce,
+            edge_weight, axis,
+        )
     n_nodes = graph.n_nodes
 
     def local(x, senders, receivers, mask, w):

@@ -1,0 +1,267 @@
+"""Boundary-only halo exchange for edge-partitioned GNN aggregation
+(SURVEY.md §5.7 design; VERDICT r1 item #10).
+
+The full-psum path (edge_partition.py) all-reduces (N, C) node partials per
+conv — replicated traffic that caps multi-host scaling.  This module keeps
+node features SHARDED on the mesh 'model' axis and exchanges only the
+boundary rows each shard actually reads:
+
+  * nodes are block-partitioned: shard p owns rows [p*Nl, (p+1)*Nl).
+  * each edge lives on the shard owning its RECEIVER, so every segment
+    reduction is local — no output collective at all.
+  * edges split into INTERIOR (sender owned locally) and BOUNDARY (sender
+    remote).  The interior aggregation consumes only local rows; the
+    boundary aggregation reads halo rows delivered by a single
+    all_to_all of (k, H, C) — H = max rows any shard pair exchanges.
+  * the interior matmul/segment-sum is scheduled before the all_to_all's
+    consumer, so XLA's latency-hiding scheduler overlaps the exchange
+    with interior compute.
+
+Bytes on wire per conv: k*H*C vs the psum's ~2*(k-1)/k * N*C — at GBM
+scale with a random 150k-edge graph H ~ Nl (dense cuts), but on
+locality-partitioned graphs (the multi-host target) H << Nl;
+tests/test_halo.py measures the HLO collective bytes of both paths.
+
+All metadata is host-precomputed per fold (static topology), mirroring
+SortedSegments' role for the single-chip kernels.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from multilevel_gnn_tpu.core.graph import Graph
+from multilevel_gnn_tpu.ops import segment as seg_ops
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HaloPartition:
+    """Host-precomputed halo-exchange metadata for one Graph on k shards.
+
+    Per-shard arrays are stacked on a leading (k,) axis and sharded on the
+    mesh 'model' axis inside shard_map (each shard sees its own row).
+
+    senders_ext: (k, E_l) int32 — sender index in the shard's EXTENDED
+        local space [0, Nl + k*H): local rows first, then halo slot
+        (q*H + j) for the j-th row received from shard q.
+    receivers_loc: (k, E_l) int32 — receiver index in [0, Nl).
+    edge_sel: (k, E_l) int32 — position of this local edge in the ORIGINAL
+        edge array (for gathering per-edge runtime data, e.g. weights);
+        padding slots -> E (one-past-end sentinel).
+    edge_mask: (k, E_l) bool — False on padding.
+    interior: (k, E_l) bool — True where the sender is locally owned;
+        interior and boundary edges are contiguous (interior first).
+    send_idx: (k, k, H) int32 — rows (LOCAL indices) shard q sends to p:
+        send_idx[q, p, :]; padding -> 0 (never referenced by receivers).
+    deg: (k, Nl) float32 — global in-degree of owned nodes (for mean).
+    """
+
+    senders_ext: jax.Array
+    receivers_loc: jax.Array
+    edge_sel: jax.Array
+    edge_mask: jax.Array
+    interior: jax.Array
+    send_idx: jax.Array
+    deg: jax.Array
+    k: int = dataclasses.field(metadata=dict(static=True))
+    n_local: int = dataclasses.field(metadata=dict(static=True))
+    halo: int = dataclasses.field(metadata=dict(static=True))
+    n_edges_local: int = dataclasses.field(metadata=dict(static=True))
+    n_nodes: int = dataclasses.field(metadata=dict(static=True))
+    n_edges: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_halo_partition(graph: Graph, k: int) -> HaloPartition:
+    """Partition `graph` for k shards (host-side, numpy)."""
+    send = np.asarray(graph.senders)
+    recv = np.asarray(graph.receivers)
+    mask = np.asarray(graph.edge_mask)
+    send, recv = send[mask], recv[mask]
+    order = np.arange(len(np.asarray(graph.senders)))[mask]
+    N, E = graph.n_nodes, len(send)
+    Nl = _round_up(N, k) // k
+    owner_s, owner_r = send // Nl, recv // Nl
+
+    # halo sets: rows shard q sends to shard p (unique, sorted)
+    halo_rows = {}
+    H = 1
+    for p in range(k):
+        for q in range(k):
+            if p == q:
+                continue
+            sel = (owner_r == p) & (owner_s == q)
+            rows = np.unique(send[sel])
+            halo_rows[(q, p)] = rows
+            H = max(H, len(rows))
+
+    send_idx = np.zeros((k, k, H), np.int32)
+    for (q, p), rows in halo_rows.items():
+        send_idx[q, p, : len(rows)] = rows - q * Nl
+
+    # per-shard edge lists: interior first, then boundary
+    per_shard = []
+    E_l = 1
+    for p in range(k):
+        mine = np.where(owner_r == p)[0]
+        interior = mine[owner_s[mine] == p]
+        boundary = mine[owner_s[mine] != p]
+        s_ext = np.empty(len(mine), np.int64)
+        s_ext[: len(interior)] = send[interior] - p * Nl
+        # boundary senders -> halo slot Nl + q*H + pos-in-halo-list
+        bs, bq = send[boundary], owner_s[boundary]
+        pos = np.empty(len(boundary), np.int64)
+        for q in range(k):
+            m = bq == q
+            if m.any():
+                pos[m] = np.searchsorted(halo_rows[(q, p)], bs[m]) + q * H
+        s_ext[len(interior) :] = Nl + pos
+        r_loc = np.concatenate([recv[interior], recv[boundary]]) - p * Nl
+        esel = np.concatenate([order[interior], order[boundary]])
+        per_shard.append((s_ext, r_loc, esel, len(interior)))
+        E_l = max(E_l, len(mine))
+
+    senders_ext = np.zeros((k, E_l), np.int32)
+    receivers_loc = np.zeros((k, E_l), np.int32)
+    edge_sel = np.full((k, E_l), graph.num_padded_edges, np.int32)
+    edge_mask = np.zeros((k, E_l), bool)
+    interior_m = np.zeros((k, E_l), bool)
+    for p, (s_ext, r_loc, esel, n_int) in enumerate(per_shard):
+        n = len(s_ext)
+        senders_ext[p, :n] = s_ext
+        receivers_loc[p, :n] = r_loc
+        edge_sel[p, :n] = esel
+        edge_mask[p, :n] = True
+        interior_m[p, :n_int] = True
+
+    deg = np.zeros((k, Nl), np.float32)
+    cnt = np.bincount(recv, minlength=k * Nl).astype(np.float32)
+    for p in range(k):
+        deg[p] = cnt[p * Nl : (p + 1) * Nl]
+
+    return HaloPartition(
+        senders_ext=jnp.asarray(senders_ext),
+        receivers_loc=jnp.asarray(receivers_loc),
+        edge_sel=jnp.asarray(edge_sel),
+        edge_mask=jnp.asarray(edge_mask),
+        interior=jnp.asarray(interior_m),
+        send_idx=jnp.asarray(send_idx),
+        deg=jnp.asarray(deg),
+        k=k,
+        n_local=Nl,
+        halo=H,
+        n_edges_local=E_l,
+        n_nodes=N,
+        n_edges=E,
+    )
+
+
+def halo_gather_scatter(
+    x: jax.Array,
+    hp: HaloPartition,
+    mesh: Mesh,
+    reduce: str = "sum",
+    edge_weight: Optional[jax.Array] = None,
+    axis: str = "model",
+) -> jax.Array:
+    """Edge-partitioned aggregation with boundary-only halo exchange.
+
+    x: (.., N_pad, C) REPLICATED input (N_pad = k * n_local; pad nodes with
+    zeros).  Returns (.., N_pad, C) SHARDED on `axis` over the node dim
+    (a global-view array; slice [:n_nodes] after materializing).  The
+    interior aggregation is emitted before the all_to_all consumer so XLA
+    overlaps exchange with interior compute.
+    """
+    k, Nl, H = hp.k, hp.n_local, hp.halo
+    w_full = None
+    if edge_weight is not None:
+        w = edge_weight if edge_weight.ndim > 1 else edge_weight[:, None]
+        zero = jnp.zeros((1,) + w.shape[1:], w.dtype)
+        w_full = jnp.take(
+            jnp.concatenate([w, zero], axis=0), hp.edge_sel, axis=0
+        )  # (k, E_l, 1)
+
+    def local(x, s_ext, r_loc, emask, interior, send_idx, deg, w):
+        # shard_map drops the leading (1,)-sized shard axis slices
+        s_ext, r_loc = s_ext[0], r_loc[0]
+        emask, interior = emask[0], interior[0]
+        send_idx, deg = send_idx[0], deg[0]
+        w = w[0] if w is not None else None
+        p = jax.lax.axis_index(axis)
+        xl = jax.lax.dynamic_slice_in_dim(x, p * Nl, Nl, axis=-2)
+
+        def agg(sender_table, sel_mask):
+            msg = jnp.take(sender_table, s_ext, axis=-2)
+            if w is not None:
+                msg = msg * w
+            return seg_ops.segment_sum(
+                msg, r_loc, Nl, mask=sel_mask
+            )
+
+        # interior partial first (overlaps with the all_to_all below)
+        part = agg(
+            jnp.concatenate(
+                [xl, jnp.zeros(xl.shape[:-2] + (k * H, xl.shape[-1]), xl.dtype)],
+                axis=-2,
+            ),
+            emask & interior,
+        )
+
+        # halo exchange: send my rows requested by each peer
+        send = jnp.take(xl, send_idx.reshape(-1), axis=-2)  # (.., k*H, C)
+        send = jnp.moveaxis(
+            send.reshape(send.shape[:-2] + (k, H, send.shape[-1])), -3, 0
+        )  # (k, .., H, C)
+        recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=False)
+        recv = jnp.moveaxis(recv, 0, -3)  # (.., k, H, C)
+        halo_rows = recv.reshape(
+            recv.shape[:-3] + (k * H, recv.shape[-1])
+        )
+        x_ext = jnp.concatenate([xl, halo_rows], axis=-2)
+        part = part + agg(x_ext, emask & ~interior)
+
+        if reduce == "mean":
+            part = part / jnp.clip(deg, 1.0, None)[:, None]
+        elif reduce not in ("sum", "add"):
+            raise NotImplementedError(reduce)
+        return part
+
+    out_spec = P(*([None] * (x.ndim - 2)), axis, None)
+    in_specs = (
+        P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+        P(axis) if w_full is not None else None,
+    )
+    if w_full is None:
+        fn = jax.shard_map(
+            lambda *a: local(*a, None),
+            mesh=mesh, in_specs=in_specs[:-1], out_specs=out_spec,
+        )
+        args = ()
+    else:
+        fn = jax.shard_map(
+            local, mesh=mesh, in_specs=in_specs, out_specs=out_spec
+        )
+        args = (w_full,)
+    return fn(
+        x, hp.senders_ext, hp.receivers_loc, hp.edge_mask, hp.interior,
+        hp.send_idx, hp.deg, *args
+    )
+
+
+def pad_nodes_for(x: jax.Array, hp: HaloPartition) -> jax.Array:
+    """Zero-pad the node axis of (.., N, C) to k * n_local."""
+    pad = hp.k * hp.n_local - x.shape[-2]
+    if pad == 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[-2] = (0, pad)
+    return jnp.pad(x, cfg)

@@ -20,10 +20,27 @@ def enable_compilation_cache(path: str = None) -> None:
 
 
 def configure_backend(cfg) -> None:
-    """Apply cfg.kernel_backend ('xla' | 'pallas') to the spmm dispatch."""
+    """Apply cfg.kernel_backend ('xla' | 'pallas') to the spmm dispatch.
+
+    Off-TPU, a configured 'pallas' backend falls back to 'xla': Mosaic
+    kernels only run interpreted there (correct but orders of magnitude
+    slower), and the shipped configs default to pallas for the TPU path."""
+    import logging
+
+    import jax
     import jax.numpy as jnp
 
     from multilevel_gnn_tpu.ops import spmm
 
-    spmm.set_backend(cfg.kernel_backend)
-    spmm.set_spmm_dtype(jnp.bfloat16 if cfg.spmm_bf16 else None)
+    backend = cfg.kernel_backend
+    if backend == "pallas" and jax.default_backend() not in ("tpu", "axon"):
+        logging.getLogger(__name__).info(
+            "kernel_backend=pallas requested off-TPU (%s): using xla",
+            jax.default_backend(),
+        )
+        backend = "xla"
+    spmm.set_backend(backend)
+    spmm.set_spmm_dtype(
+        jnp.bfloat16 if (cfg.spmm_bf16 and backend == "pallas") else None
+    )
+    spmm.set_fused(getattr(cfg, "spmm_fused", False))

@@ -1,0 +1,52 @@
+"""bf16 SpMM messages vs f32: CV accuracy validation (VERDICT r1 item #2).
+
+The bf16 message mode (spmm.set_spmm_dtype) is the single biggest measured
+perf lever on TPU (2x SpMM, BENCH_r01).  Before defaulting it in the
+shipped configs we require the end-to-end effect on the experiment metric
+to be negligible: full 5-fold CV on a synthetic cohort, pooled AUC delta
+< 0.005 vs the f32 pallas run.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from multilevel_gnn_tpu.data.synthetic import make_synthetic_cohort
+from multilevel_gnn_tpu.ops import spmm
+from multilevel_gnn_tpu.train.driver import run_experiment
+
+from test_data_pipeline import gbm_like_cfg
+
+
+def _cv_auc(cfg, cohort):
+    res = run_experiment(cfg, cohort)
+    e = res["check_epochs"][-1]
+    return res["auc"][e], res["auc_by_loss"][e]
+
+
+def test_bf16_messages_cv_auc_within_tolerance():
+    cfg = gbm_like_cfg(
+        epochs=5,
+        num_run=1,
+        batch_size=8,
+        split_shaffle=True,
+        split_seed=3,
+        node_embedding_dim=4,
+        hidden_channels=8,
+        final_channels=4,
+        head_dim=16,
+    )
+    cohort = make_synthetic_cohort(cfg, seed=0, n_patients=50, n_pathways=5)
+
+    try:
+        spmm.set_backend("pallas")
+        auc_f32, auc_loss_f32 = _cv_auc(cfg, cohort)
+        spmm.set_spmm_dtype(jnp.bfloat16)
+        auc_bf16, auc_loss_bf16 = _cv_auc(cfg, cohort)
+    finally:
+        spmm.set_backend("xla")
+        spmm.set_spmm_dtype(None)
+
+    assert np.isfinite(auc_bf16)
+    assert abs(auc_bf16 - auc_f32) < 0.005, (auc_bf16, auc_f32)
+    assert abs(auc_loss_bf16 - auc_loss_f32) < 0.01, (
+        auc_loss_bf16, auc_loss_f32,
+    )

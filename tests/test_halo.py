@@ -1,0 +1,132 @@
+"""Boundary-only halo exchange (SURVEY §5.7; VERDICT r1 item #10):
+correctness vs the single-device aggregation and vs the full-psum path,
+gradients through the all_to_all, and measured bytes-on-wire reduction in
+the compiled CPU-mesh HLO."""
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multilevel_gnn_tpu.core.graph import Graph
+from multilevel_gnn_tpu.ops import spmm
+from multilevel_gnn_tpu.parallel import make_mesh
+from multilevel_gnn_tpu.parallel.edge_partition import (
+    edge_partitioned_gather_scatter,
+)
+from multilevel_gnn_tpu.parallel.halo import (
+    build_halo_partition,
+    halo_gather_scatter,
+    pad_nodes_for,
+)
+
+K = 4
+
+
+def community_graph(rng, n=512, intra=3000, cross=120):
+    """K node blocks, mostly intra-block edges — the locality regime the
+    halo design targets (H << Nl)."""
+    nl = n // K
+    s, d = [], []
+    for p in range(K):
+        s.append(rng.randint(p * nl, (p + 1) * nl, size=intra // K))
+        d.append(rng.randint(p * nl, (p + 1) * nl, size=intra // K))
+    s.append(rng.randint(0, n, size=cross))
+    d.append(rng.randint(0, n, size=cross))
+    edges = np.stack([np.concatenate(s), np.concatenate(d)])
+    attr = rng.rand(edges.shape[1]).astype(np.float32)
+    return Graph.from_edges(edges, attr, n)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.RandomState(3)
+    g = community_graph(rng)
+    hp = build_halo_partition(g, K)
+    mesh = make_mesh(1, K)
+    x = jnp.asarray(rng.randn(2, g.n_nodes, 32).astype(np.float32))
+    return g, hp, mesh, x
+
+
+@pytest.mark.parametrize("reduce", ["sum", "mean"])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_halo_matches_single_device(setup, reduce, weighted):
+    g, hp, mesh, x = setup
+    w = g.edge_attr if weighted else None
+    want = spmm.gather_scatter(x, g, reduce, w, backend="xla")
+    xp = pad_nodes_for(x, hp)
+    with mesh:
+        got = jax.jit(
+            lambda x: halo_gather_scatter(x, hp, mesh, reduce, w)
+        )(xp)
+    np.testing.assert_allclose(
+        np.asarray(got)[:, : g.n_nodes], np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_halo_gradients(setup):
+    g, hp, mesh, x = setup
+    t = jnp.asarray(np.random.RandomState(5).randn(*x.shape).astype(np.float32))
+
+    def loss_halo(x):
+        out = halo_gather_scatter(
+            pad_nodes_for(x, hp), hp, mesh, "mean", g.edge_attr
+        )
+        return jnp.sum(out[:, : g.n_nodes] * t)
+
+    def loss_ref(x):
+        return jnp.sum(
+            spmm.gather_scatter(x, g, "mean", g.edge_attr, backend="xla") * t
+        )
+
+    with mesh:
+        g_halo = jax.jit(jax.grad(loss_halo))(x)
+    g_ref = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(
+        np.asarray(g_halo), np.asarray(g_ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def _collective_bytes(hlo: str) -> int:
+    """Total bytes moved by collectives in an optimized HLO dump."""
+    total = 0
+    for m in re.finditer(
+        r"(f32|bf16|f16)\[([\d,]*)\][^\n]*?\b"
+        r"(all-reduce|all-to-all|all-gather|reduce-scatter|collective-permute)"
+        r"(-start)?\(",
+        hlo,
+    ):
+        dims = m.group(2)
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * (4 if m.group(1) == "f32" else 2)
+    return total
+
+
+def test_halo_bytes_on_wire_less_than_psum(setup):
+    g, hp, mesh, x = setup
+    xp = pad_nodes_for(x, hp)
+    with mesh:
+        halo_hlo = (
+            jax.jit(lambda x: halo_gather_scatter(x, hp, mesh, "sum", g.edge_attr))
+            .lower(xp)
+            .compile()
+            .as_text()
+        )
+        psum_hlo = (
+            jax.jit(
+                lambda x: edge_partitioned_gather_scatter(
+                    x, g, mesh, "sum", g.edge_attr
+                )
+            )
+            .lower(x)
+            .compile()
+            .as_text()
+        )
+    b_halo = _collective_bytes(halo_hlo)
+    b_psum = _collective_bytes(psum_hlo)
+    # full psum moves O(N*C) replicated partials; halo moves only k*H*C
+    assert b_halo < b_psum / 2, (b_halo, b_psum)

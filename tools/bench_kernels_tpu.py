@@ -1,0 +1,149 @@
+"""TPU kernel micro-bench: composed vs fused SpMM (f32/bf16) + segment-max.
+
+Run on the real chip (default env, serialized TPU access):
+    timeout 1800 python tools/bench_kernels_tpu.py [spmm|max|all]
+
+Honest timing: chained inputs (x := f(x)) — the axon tunnel value-caches
+identical executions of pure-XLA programs (CLAUDE.md).
+"""
+import sys
+import time
+
+import numpy as np
+
+
+def timeit_chained(fn, x0, iters=20, warmup=2):
+    import jax
+
+    x = x0
+    for _ in range(warmup):
+        x = fn(x)
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = fn(x)
+    jax.block_until_ready(x)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_spmm():
+    import jax
+    import jax.numpy as jnp
+
+    from multilevel_gnn_tpu.core.graph import Graph
+    from multilevel_gnn_tpu.ops import spmm
+
+    rng = np.random.RandomState(0)
+    N, E, B, C = 15405, 150_000, 32, 64
+    edges = rng.randint(0, N, size=(2, E))
+    attr = rng.rand(E).astype(np.float32)
+    g = Graph.from_edges(edges, attr, N).with_sorted_meta()
+    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+
+    for fused in (False, True):
+        for dtype in (None, jnp.bfloat16):
+            spmm.set_fused(fused)
+            spmm.set_spmm_dtype(dtype)
+            tag = f"{'fused' if fused else 'composed'}-{'bf16' if dtype else 'f32'}"
+            try:
+                fn = jax.jit(
+                    lambda x: spmm.gather_scatter(
+                        x, g, "mean", g.edge_attr, backend="pallas"
+                    )
+                    + 0.001
+                )
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(x))
+                compile_s = time.perf_counter() - t0
+                dt = timeit_chained(fn, x)
+                print(
+                    f"spmm {tag}: {B*E/dt:.3e} edges/s ({dt*1e3:.2f} ms, "
+                    f"compile {compile_s:.1f}s)",
+                    flush=True,
+                )
+            except Exception as e:
+                print(f"spmm {tag} FAILED: {type(e).__name__}: {e}", flush=True)
+            finally:
+                spmm.set_fused(False)
+                spmm.set_spmm_dtype(None)
+
+
+def bench_max():
+    import jax
+    import jax.numpy as jnp
+
+    from multilevel_gnn_tpu.core.graph import Graph
+    from multilevel_gnn_tpu.ops import spmm
+
+    rng = np.random.RandomState(0)
+    N, E, B, C = 15405, 150_000, 32, 64
+    edges = rng.randint(0, N, size=(2, E))
+    g = Graph.from_edges(edges, None, N).with_sorted_meta()
+    x = jnp.asarray(rng.randn(B, E, C).astype(np.float32))
+
+    fn = jax.jit(
+        lambda m: spmm.edge_segment_max(m, g.receivers, g.edge_mask, g.csr)
+    )
+    t0 = time.perf_counter()
+    out = fn(x)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+
+    # chain via concatenating the output back into edge rows is awkward;
+    # instead perturb the input from the output's mean each iter
+    def step(m):
+        o = spmm.edge_segment_max(m, g.receivers, g.edge_mask, g.csr)
+        return m + 1e-6 * jnp.mean(o)
+
+    sfn = jax.jit(step)
+    dt = timeit_chained(sfn, x, iters=10)
+    print(
+        f"segment-max (B={B} E={E} C={C}): {B*E/dt:.3e} edges/s "
+        f"({dt*1e3:.2f} ms, compile {compile_s:.1f}s)",
+        flush=True,
+    )
+
+    # GAT fwd+bwd compile check: zero XLA scatters in optimized HLO
+    from multilevel_gnn_tpu.nn.conv import GATConv
+
+    spmm.set_backend("pallas")
+    try:
+        g2 = (
+            Graph.from_edges(
+                rng.randint(0, 2048, size=(2, 20000)), None, 2048
+            )
+            .with_self_loops()
+            .with_sorted_meta()
+        )
+        xb = jnp.asarray(rng.randn(8, 2048, 64).astype(np.float32))
+        conv = GATConv(64, 16, heads=4)
+        params = conv.init(jax.random.PRNGKey(0), xb, g2)
+
+        def loss(p, xv):
+            return (conv.apply(p, xv, g2) ** 2).sum()
+
+        lowered = jax.jit(jax.grad(loss, argnums=(0, 1))).lower(params, xb)
+        hlo = lowered.compile().as_text()
+        n_scatter = hlo.count(" scatter(")
+        print(f"GAT fwd+bwd optimized HLO scatters: {n_scatter}", flush=True)
+        t0 = time.perf_counter()
+        grads = jax.jit(jax.grad(loss, argnums=(0, 1)))(params, xb)
+        jax.block_until_ready(grads)
+        print(f"GAT grad exec ok ({time.perf_counter()-t0:.1f}s inc compile)",
+              flush=True)
+    finally:
+        spmm.set_backend("xla")
+
+
+if __name__ == "__main__":
+    what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    from multilevel_gnn_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    print("devices:", jax.devices(), flush=True)
+    if what in ("spmm", "all"):
+        bench_spmm()
+    if what in ("max", "all"):
+        bench_max()
