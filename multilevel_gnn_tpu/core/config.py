@@ -236,7 +236,6 @@ class Config:
     slot_sizes: Optional[tuple] = None  # genes per pathway-omics slot (AE)
     kernel_backend: str = "xla"  # xla | pallas
     spmm_bf16: bool = False  # cast SpMM messages to bf16 (pallas path)
-    spmm_fused: bool = False  # gather-in-kernel fused SpMM (pallas path)
     mesh_data_axis: int = 1  # data-parallel mesh size
     mesh_model_axis: int = 1  # edge-partition mesh size
     ckpt_every: int = 0  # save {params,opt_state,loop} every N epochs (0=off)

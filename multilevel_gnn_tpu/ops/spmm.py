@@ -35,7 +35,6 @@ from multilevel_gnn_tpu.ops.pallas.segment_sum import (
     sorted_segment_sum,
 )
 from multilevel_gnn_tpu.ops.pallas import segment_max as pmax
-from multilevel_gnn_tpu.ops.pallas import spmm as pallas_spmm
 
 
 def _flat_index(idx: jax.Array, seg: SortedSegments) -> jax.Array:
@@ -53,17 +52,20 @@ def _flat_w(w: jax.Array, seg: SortedSegments) -> jax.Array:
 
 _BACKEND = "xla"
 _DTYPE = None  # None = keep f32; jnp.bfloat16 = cast SpMM data (2x traffic cut)
-# gather-in-kernel fused SpMM (ops/pallas/spmm.py): eliminates the HBM
-# message round trip but pays per-row DMA issue cost — opt-in until the
-# hardware bench decides (MGTPU_FUSED=1 or set_fused(True); STATUS.md).
-import os as _os
 
-_FUSED = _os.environ.get("MGTPU_FUSED", "0") == "1"
-
-
-def set_fused(enabled: bool) -> None:
-    global _FUSED
-    _FUSED = bool(enabled)
+# NOTE on gather-in-kernel fusion (investigated + rejected, round 2): a
+# per-row-DMA fused gather→segment-sum kernel cannot beat this composed
+# path on v5e.  Measured (tools/bench_dma_gather.py): 165,888 single-row
+# (16,128) DMAs cost 5.90 ms f32 / 5.44 ms bf16 — identical despite 2x the
+# bytes, i.e. the gather is ISSUE-RATE bound at ~33 ns/row on the scalar
+# core, and XLA's gather (~6 ms) already achieves that bound.  Fusion's
+# only upside is skipping the message HBM round trip (~2.5 ms f32 /
+# ~1.2 ms bf16) against the risk of serializing the same DMA stream with
+# the MXU accumulate; on the shipped bf16 path (6.68 ms total) the best
+# case is <=10%.  Mosaic also rejects single-row slices of (8,128)-tiled
+# 2D HBM memrefs outright ("Slice shape along dimension 0 must be aligned
+# to tiling (8)"); the only legal layout is a 3D (N,16,128) repack whose
+# compute side needs unsupported (te,16,128) relayouts.  See STATUS.md.
 
 
 def set_backend(name: str) -> None:
@@ -130,22 +132,12 @@ def _fused_spmm_sum(x, w, senders, receivers, csr, csc):
     if _DTYPE is not None:
         x2 = x2.astype(_DTYPE)
         w = w.astype(_DTYPE)
-    if _FUSED and _fused_fits(csr, x2):
-        out2 = pallas_spmm.gather_segment_sum(
-            x2, _flat_index(senders, csr), _flat_w(w, csr), csr
-        )
-        return _from_2d(out2, bc)
     # compose the flat tile-aligned layout into the gather: padding slots
     # read row 0 with weight 0, so the flat kernel streams one contiguous
     # chunk per grid step with zero re-reads
     msg = jnp.take(x2, _flat_index(senders, csr), axis=0) * _flat_w(w, csr)
     out2 = flat_segment_sum(msg, csr)
     return _from_2d(out2, bc)
-
-
-def _fused_fits(seg: SortedSegments, x2: jax.Array) -> bool:
-    c_pad = ((x2.shape[1] + 127) // 128) * 128
-    return pallas_spmm.vmem_need(seg.te, c_pad, x2.dtype) <= 12 * 1024 * 1024
 
 
 def _fused_fwd(x, w, senders, receivers, csr, csc):
@@ -160,13 +152,8 @@ def _fused_bwd(res, d_out):
     if _DTYPE is not None:
         g2 = g2.astype(_DTYPE)
         w = w.astype(_DTYPE)
-    if _FUSED and _fused_fits(csc, g2):
-        d_x2 = pallas_spmm.gather_segment_sum(
-            g2, _flat_index(receivers, csc), _flat_w(w, csc), csc
-        )
-    else:
-        g = jnp.take(g2, _flat_index(receivers, csc), axis=0) * _flat_w(w, csc)
-        d_x2 = flat_segment_sum(g, csc)
+    g = jnp.take(g2, _flat_index(receivers, csc), axis=0) * _flat_w(w, csc)
+    d_x2 = flat_segment_sum(g, csc)
     d_x = _from_2d(d_x2, bc)
     if d_x.dtype != d_out.dtype:
         d_x = d_x.astype(d_out.dtype)

@@ -117,6 +117,9 @@ class FoldResult:
     epoch_pred: Dict[int, np.ndarray]
     epoch_pred_by_loss: Dict[int, np.ndarray]
     epoch_pred_by_epoch: Dict[int, np.ndarray]
+    # wall-clock seconds per (train + eval) epoch; first entry includes
+    # compilation — consumers (bench.py) take the median
+    epoch_times: List[float] = dataclasses.field(default_factory=list)
 
 
 def evaluate(fns, params, ctx, X, Y, ages, idxs, batch_size, raw=None,
@@ -291,7 +294,9 @@ def run_fold(
             start_epoch = last + 1
             log.info("resumed %s at epoch %d", fold_tag, last)
 
+    epoch_times: List[float] = []
     for epoch in range(start_epoch, cfg.epochs + 1):
+        epoch_t0 = time.time()
         for batch in iter_batches(
             X, Y, ages, train_idx, cfg.batch_size, np_rng, shuffle, drop_last,
             sampler_weights, variation, raw=raw,
@@ -333,6 +338,7 @@ def run_fold(
                 else test_score
             )
             results["epoch_by_epoch"][epoch] = test_score
+        epoch_times.append(time.time() - epoch_t0)
         log.info(
             "run %d fold %d epoch %d: valid auc %.4f test auc %.4f loss %.4f",
             run_i, fold_i, epoch, valid_auc, test_auc, valid_loss,
@@ -372,6 +378,7 @@ def run_fold(
         epoch_pred={e: results["epoch"][e] for e in check_epochs},
         epoch_pred_by_loss={e: results["epoch_by_loss"][e] for e in check_epochs},
         epoch_pred_by_epoch={e: results["epoch_by_epoch"][e] for e in check_epochs},
+        epoch_times=epoch_times,
     )
 
 
@@ -462,9 +469,18 @@ def run_experiment(
             "run %d: pooled AUC@%d %.4f", run_i, check_epochs[-1],
             agg["auc"][check_epochs[-1]][-1],
         )
+    all_epoch_times = [
+        t
+        for fr in fold_results
+        for t in getattr(fr, "epoch_times", [])  # absent in pre-r2 pickles
+    ]
     out = {
         "check_epochs": check_epochs,
         "wall_time_s": time.time() - t0,
+        # median excludes the compile-heavy first epochs of each fold
+        "epoch_s_median": float(np.median(all_epoch_times))
+        if all_epoch_times
+        else None,
     }
     for k, d in agg.items():
         out[k] = {e: float(np.mean(v)) for e, v in d.items()}

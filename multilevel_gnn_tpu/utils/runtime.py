@@ -43,4 +43,3 @@ def configure_backend(cfg) -> None:
     spmm.set_spmm_dtype(
         jnp.bfloat16 if (cfg.spmm_bf16 and backend == "pallas") else None
     )
-    spmm.set_fused(getattr(cfg, "spmm_fused", False))

@@ -155,42 +155,3 @@ def test_spmm_bf16_mode_close_to_f32(rng):
     scale = float(jnp.max(jnp.abs(ref)))
     err = float(jnp.max(jnp.abs(got - ref)))
     assert err < 0.03 * scale, (err, scale)
-
-
-def test_fused_gather_in_kernel_matches_composed(rng):
-    """Gather-in-kernel fused SpMM (ops/pallas/spmm.py) == composed path,
-    forward AND gradient, f32 and bf16 (VERDICT r1 item #1)."""
-    g = build(rng)
-    x = jnp.asarray(rng.randn(2, g.n_nodes, 70).astype(np.float32))
-    t = jnp.asarray(rng.randn(2, g.n_nodes, 70).astype(np.float32))
-
-    def loss(x):
-        out = spmm.gather_scatter(x, g, "mean", g.edge_attr, backend="pallas")
-        return jnp.sum(out * t) + jnp.sum(jnp.tanh(out)), out
-
-    try:
-        spmm.set_fused(False)
-        (l0, out0), g0 = jax.value_and_grad(loss, has_aux=True)(x)
-        spmm.set_fused(True)
-        (l1, out1), g1 = jax.value_and_grad(loss, has_aux=True)(x)
-        np.testing.assert_allclose(
-            np.asarray(out1), np.asarray(out0), rtol=1e-6, atol=1e-6
-        )
-        np.testing.assert_allclose(
-            np.asarray(g1), np.asarray(g0), rtol=1e-6, atol=1e-6
-        )
-
-        spmm.set_spmm_dtype(jnp.bfloat16)
-        spmm.set_fused(False)
-        (_, outb0), gb0 = jax.value_and_grad(loss, has_aux=True)(x)
-        spmm.set_fused(True)
-        (_, outb1), gb1 = jax.value_and_grad(loss, has_aux=True)(x)
-        np.testing.assert_allclose(
-            np.asarray(outb1), np.asarray(outb0), rtol=1e-6, atol=1e-6
-        )
-        np.testing.assert_allclose(
-            np.asarray(gb1), np.asarray(gb0), rtol=1e-6, atol=1e-6
-        )
-    finally:
-        spmm.set_fused(False)
-        spmm.set_spmm_dtype(None)

@@ -40,32 +40,29 @@ def bench_spmm():
     g = Graph.from_edges(edges, attr, N).with_sorted_meta()
     x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
 
-    for fused in (False, True):
-        for dtype in (None, jnp.bfloat16):
-            spmm.set_fused(fused)
-            spmm.set_spmm_dtype(dtype)
-            tag = f"{'fused' if fused else 'composed'}-{'bf16' if dtype else 'f32'}"
-            try:
-                fn = jax.jit(
-                    lambda x: spmm.gather_scatter(
-                        x, g, "mean", g.edge_attr, backend="pallas"
-                    )
-                    + 0.001
+    for dtype in (None, jnp.bfloat16):
+        spmm.set_spmm_dtype(dtype)
+        tag = f"composed-{'bf16' if dtype else 'f32'}"
+        try:
+            fn = jax.jit(
+                lambda x: spmm.gather_scatter(
+                    x, g, "mean", g.edge_attr, backend="pallas"
                 )
-                t0 = time.perf_counter()
-                jax.block_until_ready(fn(x))
-                compile_s = time.perf_counter() - t0
-                dt = timeit_chained(fn, x)
-                print(
-                    f"spmm {tag}: {B*E/dt:.3e} edges/s ({dt*1e3:.2f} ms, "
-                    f"compile {compile_s:.1f}s)",
-                    flush=True,
-                )
-            except Exception as e:
-                print(f"spmm {tag} FAILED: {type(e).__name__}: {e}", flush=True)
-            finally:
-                spmm.set_fused(False)
-                spmm.set_spmm_dtype(None)
+                + 0.001
+            )
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(x))
+            compile_s = time.perf_counter() - t0
+            dt = timeit_chained(fn, x)
+            print(
+                f"spmm {tag}: {B*E/dt:.3e} edges/s ({dt*1e3:.2f} ms, "
+                f"compile {compile_s:.1f}s)",
+                flush=True,
+            )
+        except Exception as e:
+            print(f"spmm {tag} FAILED: {type(e).__name__}: {e}", flush=True)
+        finally:
+            spmm.set_spmm_dtype(None)
 
 
 def bench_max():
