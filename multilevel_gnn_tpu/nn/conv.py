@@ -187,7 +187,7 @@ class GENConv(nn.Module):
             e = Linear(self.in_dim, name="edge_encoder")(edge_attr)
         else:
             e = edge_attr
-        msg = spmm.gather(x, graph.senders)
+        msg = spmm.gather_src(x, graph)
         if e is not None:
             msg = msg + e
         msg = jax.nn.relu(msg) + self.eps
@@ -215,7 +215,7 @@ class PathwayConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph: Graph, edge_attr=None, mask=None, training=False):
-        x_j = spmm.gather(x, graph.senders)
+        x_j = spmm.gather_src(x, graph)
         if edge_attr is not None:
             # msg = msg_encoder((x_j outer e).flatten)
             outer = x_j[..., :, None] * edge_attr[..., None, :]
@@ -348,21 +348,30 @@ class GATConv(nn.Module):
         att_dst = self.param("att_dst", xavier_uniform, (1, H, D))
         a_src = (xw * att_src).sum(-1)  # (..., N, H)
         a_dst = (xw * att_dst).sum(-1)
-        alpha = spmm.gather(a_src, graph.senders) + spmm.gather(
-            a_dst, graph.receivers
-        )
-        alpha = jax.nn.leaky_relu(alpha, self.negative_slope)
         if spmm.get_backend() == "pallas" and graph.csr is not None:
-            # scatter-free: Pallas softmax weights + Pallas segment-sum
-            # (replaces torch_scatter's scatter_softmax/scatter_add behind
-            # PyG GATConv — reference torch_vertex.py:207-223)
+            # scatter-free fwd AND bwd: all node->edge gathers ride
+            # gather_rows (Pallas segment-sum cotangents — a plain
+            # jnp.take transposes to XLA scatter-add), softmax weights and
+            # the head-sum ride the Pallas segment kernels (replaces
+            # torch_scatter's scatter_softmax/scatter_add behind PyG
+            # GATConv — reference torch_vertex.py:207-223)
+            alpha = spmm.gather_rows(
+                a_src, graph.senders, graph.csc
+            ) + spmm.gather_rows(a_dst, graph.receivers, graph.csr)
+            alpha = jax.nn.leaky_relu(alpha, self.negative_slope)
             alpha = spmm.segment_softmax_weights(alpha, graph)
-            msg = spmm.gather(xw, graph.senders, axis=-3) * alpha[..., None]
+            xw_flat = xw.reshape(xw.shape[:-2] + (H * D,))
+            msg = spmm.gather_rows(xw_flat, graph.senders, graph.csc)
+            msg = msg.reshape(msg.shape[:-1] + (H, D)) * alpha[..., None]
             flat = msg.reshape(msg.shape[:-2] + (H * D,))
             out = spmm.edge_segment_sum(
                 flat, graph.receivers, graph.edge_mask, graph.csr
             )
         else:
+            alpha = spmm.gather(a_src, graph.senders) + spmm.gather(
+                a_dst, graph.receivers
+            )
+            alpha = jax.nn.leaky_relu(alpha, self.negative_slope)
             alpha = seg.segment_softmax(
                 alpha, graph.receivers, graph.n_nodes, mask=graph.edge_mask
             )
@@ -414,7 +423,7 @@ class MRConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph: Graph, edge_attr=None, training: bool = False):
-        diff = spmm.gather(x, graph.senders) - spmm.gather(x, graph.receivers)
+        diff = spmm.gather_src(x, graph) - spmm.gather_dst(x, graph)
         if spmm.get_backend() == "pallas" and graph.csr is not None:
             agg = spmm.edge_segment_max(
                 diff, graph.receivers, graph.edge_mask, graph.csr
@@ -445,8 +454,8 @@ class EdgeConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph: Graph, edge_attr=None, training: bool = False):
-        x_i = spmm.gather(x, graph.receivers)
-        x_j = spmm.gather(x, graph.senders)
+        x_i = spmm.gather_dst(x, graph)
+        x_j = spmm.gather_src(x, graph)
         msg = jnp.concatenate([x_i, x_j - x_i], axis=-1)
         msg = MLP(
             [2 * self.in_channels, self.out_channels],

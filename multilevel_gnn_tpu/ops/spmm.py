@@ -302,6 +302,23 @@ def _gather_rows_bwd(res, d_out):
 gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
+def gather_src(x, graph):
+    """x[..., senders, :] — scatter-free backward on the pallas backend
+    (gather_rows over the sender-sorted segments); plain XLA gather (whose
+    VJP is a scatter-add) otherwise."""
+    if _BACKEND == "pallas" and getattr(graph, "csc", None) is not None:
+        return gather_rows(x, graph.senders, graph.csc)
+    return gather(x, graph.senders)
+
+
+def gather_dst(x, graph):
+    """x[..., receivers, :] — scatter-free-backward counterpart of
+    gather_src over the receiver-sorted segments."""
+    if _BACKEND == "pallas" and getattr(graph, "csr", None) is not None:
+        return gather_rows(x, graph.receivers, graph.csr)
+    return gather(x, graph.receivers)
+
+
 def gather_scatter(
     x: jax.Array,
     graph: Graph,

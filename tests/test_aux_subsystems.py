@@ -66,6 +66,48 @@ def test_kraskov_mi(rng):
     assert mi_ind < 0.2
 
 
+def _load_reference_kraskov():
+    """Exec the REAL reference kraskov_mi (utils/knnie.py:17-53) in a
+    namespace that provides its imports — the module itself imports cvxopt
+    and matplotlib at top level, which aren't installed here."""
+    import scipy.spatial as ss
+    from math import log
+    from scipy.special import digamma
+
+    src = open("/root/reference/utils/knnie.py").read()
+    fn_src = src[src.index("def kraskov_mi") : src.index("def revised_mi")]
+    ns = {
+        "ss": ss, "digamma": digamma, "log": log, "np": np, "float": float,
+        "len": len, "range": range,
+    }
+    exec(fn_src, ns)  # noqa: S102 — test-only oracle, fixed local file
+    return ns["kraskov_mi"]
+
+
+def test_kraskov_mi_value_parity_vs_reference(rng):
+    """VERDICT r1 #6/weak-7: the shipped estimator == the reference's Gao
+    formula value-for-value on tie-free data.  (The reference's per-sample
+    log-distance terms cancel analytically; remaining deltas are the tie
+    noise, ball-query epsilon, and the >=0 clamp — all no-ops here.)"""
+    ref_fn = _load_reference_kraskov()
+    n = 200
+    for tag, y in (
+        ("dep", None),  # filled below
+        ("mid", None),
+        ("ind", None),
+    ):
+        x = rng.randn(n, 2)
+        if tag == "dep":
+            y = x[:, :1] + 0.05 * rng.randn(n, 1)
+        elif tag == "mid":
+            y = 0.5 * x[:, 1:] + rng.randn(n, 1)
+        else:
+            y = rng.randn(n, 1)
+        want = ref_fn(x, y, k=5)
+        got = kraskov_mi(x, y, k=5)
+        assert abs(got - max(want, 0.0)) < 0.02, (tag, got, want)
+
+
 def test_step_timer_and_metric_stream(tmp_path):
     t = StepTimer(edges_per_step=1000, batch_per_step=4)
     for _ in range(3):
