@@ -80,53 +80,14 @@ def bench_train_step(backend="pallas", bf16=True):
     import jax
     import jax.numpy as jnp
 
-    from multilevel_gnn_tpu.core.batch import Batch, make_fold_context
-    from multilevel_gnn_tpu.core.config import Config
-    from multilevel_gnn_tpu.core.graph import Graph
-    from multilevel_gnn_tpu.models.multilevel_gnn import MultilevelGNN
+    from multilevel_gnn_tpu.data.synthetic import make_gbm_scale_setup
     from multilevel_gnn_tpu.ops import spmm
     from multilevel_gnn_tpu.train.step import build_train_fns
 
     spmm.set_backend(backend)
     spmm.set_spmm_dtype(jnp.bfloat16 if (bf16 and backend == "pallas") else None)
-    rng = np.random.RandomState(0)
-    NODE_NUM, P, K, G_ROWS = 5135, 146, 2, 25015
-    NODES = 3 * NODE_NUM
-    E, B = 150_000, 32
-    cfg = Config(
-        model="multilevel_gnn", gnn_name="sage", gnn_act="leakyrelu",
-        num_layers=2, hidden_channels=64, final_channels=32,
-        node_embedding=True, node_embedding_dim=64, node_num=NODE_NUM,
-        pathway_num=P, pca_dim=K, pca_sim_dim=K, pathway_pool_dim=4,
-        pca_pool_dim=2, conv_channel_list=[32, 64], conv_kernel_list=[1, 1],
-        head_dim=256, use_age=True, value_att_mask=True,
-        mutual_info_mask=True, pca_match_mask=True, weighted_edge=True,
-        pca_indep_loss=True, feature_drop=True, weight_balance=True,
-        batch_size=B, kernel_backend="pallas",
-    )
-    graph = (
-        Graph.from_edges(
-            rng.randint(0, NODES, size=(2, E)),
-            rng.rand(E).astype(np.float32),
-            NODES,
-        )
-        .with_self_loops()
-        .with_sorted_meta()
-    )
-    ctx = make_fold_context(
-        graph,
-        rng.randint(-1, NODES, G_ROWS),
-        np.sort(rng.randint(0, 3 * P, G_ROWS)),
-        (rng.rand(G_ROWS, 1) > 0.3).astype(np.float32),
-        n_pathways=P,
-    )
-    batch = Batch(
-        x=jnp.asarray(rng.randn(B, NODES).astype(np.float32)),
-        y=jnp.asarray(np.eye(2, dtype=np.float32)[rng.randint(0, 2, B)]),
-        age=jnp.asarray(rng.rand(B).astype(np.float32) * 80),
-        sample_mask=jnp.ones(B, bool),
-    )
-    model = MultilevelGNN(cfg)
+    cfg, model, graph, ctx, batch = make_gbm_scale_setup()
+    B = batch.x.shape[0]
     fns = build_train_fns(model, cfg)
     params, opt_state = fns.init_state(jax.random.PRNGKey(0), batch, ctx, 10)
     cw = jnp.ones(2, jnp.float32)

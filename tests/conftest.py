@@ -22,6 +22,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running (production-scale shapes on CPU)"
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
