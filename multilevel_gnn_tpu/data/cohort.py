@@ -338,7 +338,13 @@ class Cohort:
         y = self.labels()[train_idx]
         rs = cfg.random_state if cfg.freeze_mutual_select_init else None
         fn = mutual_info_classif if cfg.mutual_classif else mutual_info_regression
-        mi = fn(x, y, n_neighbors=cfg.mutual_neighbors, random_state=rs)
+        # n_jobs: per-feature kNN MI estimates are independent; parallelize
+        # across host cores (values identical to the sequential reference
+        # call — sklearn splits by feature, not by sample)
+        mi = fn(
+            x, y, n_neighbors=cfg.mutual_neighbors, random_state=rs,
+            n_jobs=-1,
+        )
         thr = (
             cfg.node_select_threshold * np.mean(mi)
             if cfg.mutual_info_threshold is None

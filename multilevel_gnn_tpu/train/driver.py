@@ -176,6 +176,12 @@ def run_fold(
     resume: bool = False,
     interrupt_after: Optional[int] = None,
 ) -> FoldResult:
+    t_prep0 = time.time()
+    _marks: List = []
+
+    def _mark(label):
+        _marks.append((label, time.time()))
+
     gene_level = cfg.model in ("deepergcn",)
     if gene_level:
         # DeeperGCN rides the gene-level topology with pathway-vnode edges
@@ -189,6 +195,7 @@ def run_fold(
         )
     else:
         fold = cohort.fold(np.asarray(train_idx), fold_i)
+        _mark("cohort.fold")
         cfg = cfg.replace(node_num=cohort.num_nodes // 3)
         X = cohort.X
         raw = (
@@ -216,6 +223,7 @@ def run_fold(
     Y, ages = cohort.Y, cohort.ages
     steps_per_epoch = max(len(train_idx) // cfg.batch_size, 1)
     model, fns = _shared_fns(cfg, cohort, steps_per_epoch)
+    _mark("build_fns")
     rng_key = jax.random.PRNGKey(cfg.seed * 10_000 + run_i * 100 + fold_i)
     init_batch = next(
         iter_batches(
@@ -224,6 +232,8 @@ def run_fold(
         )
     )
     params, opt_state = fns.init_state(rng_key, init_batch, ctx, steps_per_epoch)
+    jax.block_until_ready(params)
+    _mark("init_state")
     if cfg.init_with_pca and fold.pca_seed is not None:
         params = seed_pca_params(params, jnp.asarray(fold.pca_seed))
     if pretrained_params is not None:
@@ -294,6 +304,14 @@ def run_fold(
             start_epoch = last + 1
             log.info("resumed %s at epoch %d", fold_tag, last)
 
+    _parts, _last = [], t_prep0
+    for label, t in _marks:
+        _parts.append(f"{label} {t - _last:.2f}s")
+        _last = t
+    log.info(
+        "run %d fold %d: host prep+init %.2fs (%s)", run_i, fold_i,
+        time.time() - t_prep0, ", ".join(_parts),
+    )
     epoch_times: List[float] = []
     for epoch in range(start_epoch, cfg.epochs + 1):
         epoch_t0 = time.time()
@@ -340,8 +358,10 @@ def run_fold(
             results["epoch_by_epoch"][epoch] = test_score
         epoch_times.append(time.time() - epoch_t0)
         log.info(
-            "run %d fold %d epoch %d: valid auc %.4f test auc %.4f loss %.4f",
+            "run %d fold %d epoch %d: valid auc %.4f test auc %.4f loss %.4f"
+            " (%.2fs)",
             run_i, fold_i, epoch, valid_auc, test_auc, valid_loss,
+            epoch_times[-1],
         )
         want_interrupt = interrupt_after is not None and interrupt_after[0] == 1
         if ckpt_dir is not None and (
