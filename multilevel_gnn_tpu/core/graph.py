@@ -90,11 +90,19 @@ class Graph:
                 edge_attr = np.concatenate(
                     [edge_attr, np.zeros((pad, edge_attr.shape[1]), np.float32)]
                 )
+        # fields stay HOST numpy through the build pipeline: the
+        # with_self_loops/pad_edges_to/with_sorted_meta chain reads them
+        # back with np.asarray, and on the remote-tunnel TPU backend the
+        # first device->host readback costs ~55 s of one-time setup
+        # (measured, /tmp probe 2026-08-17).  with_sorted_meta() — the
+        # terminal step of every training pipeline — moves the final
+        # arrays to device in one device_put; graphs used without it are
+        # converted lazily at first jit call.
         return Graph(
-            senders=jnp.asarray(edge_index[0]),
-            receivers=jnp.asarray(edge_index[1]),
-            edge_attr=jnp.asarray(edge_attr) if edge_attr is not None else None,
-            edge_mask=jnp.asarray(mask),
+            senders=edge_index[0],
+            receivers=edge_index[1],
+            edge_attr=edge_attr,
+            edge_mask=mask,
             n_nodes=int(n_nodes),
             n_edges=int(n_edges),
         )
@@ -175,8 +183,12 @@ class Graph:
         csr = SortedSegments.build(recv, self.n_nodes, te=te, mask=mask)
         csc = SortedSegments.build(send, self.n_nodes, te=te, mask=mask)
         deg = np.bincount(recv[mask], minlength=self.n_nodes).astype(np.float32)
+        dev = jax.device_put(
+            (send, recv, self.edge_attr, mask, deg)
+        )
         return dataclasses.replace(
-            self, csr=csr, csc=csc, in_deg=jnp.asarray(deg)
+            self, senders=dev[0], receivers=dev[1], edge_attr=dev[2],
+            edge_mask=dev[3], csr=csr, csc=csc, in_deg=dev[4],
         )
 
     def in_degree(self) -> jax.Array:

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -340,11 +341,23 @@ class Cohort:
         fn = mutual_info_classif if cfg.mutual_classif else mutual_info_regression
         # n_jobs: per-feature kNN MI estimates are independent; parallelize
         # across host cores (values identical to the sequential reference
-        # call — sklearn splits by feature, not by sample)
-        mi = fn(
-            x, y, n_neighbors=cfg.mutual_neighbors, random_state=rs,
-            n_jobs=-1,
-        )
+        # call — sklearn splits by feature, not by sample).  The loky
+        # workers inherit os.environ at first spawn; blank the axon pool
+        # var so each worker's sitecustomize skips TPU-plugin registration
+        # (measured: 109 s of fold-0 prep when every worker re-registered
+        # the remote TPU backend vs ~4 s with CPU-only workers).
+        prev = os.environ.get("PALLAS_AXON_POOL_IPS")
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        try:
+            mi = fn(
+                x, y, n_neighbors=cfg.mutual_neighbors, random_state=rs,
+                n_jobs=-1,
+            )
+        finally:
+            if prev is None:
+                os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+            else:
+                os.environ["PALLAS_AXON_POOL_IPS"] = prev
         thr = (
             cfg.node_select_threshold * np.mean(mi)
             if cfg.mutual_info_threshold is None
@@ -724,9 +737,14 @@ class Cohort:
         Edge counts are padded up to a bucket multiple so folds share jit
         compilations; sorted-segment metadata for the Pallas backend is
         attached last (padding/self-loop rebuilds drop it)."""
+        import time as _time
+
+        _t0 = _time.time()
         cfg = self.cfg
         mask, mi = self.mutual_mask(train_idx, fold_i)
+        _t_mi = _time.time()
         seed, attr, reorder = self._pathway_pca(mask)
+        _t_pca = _time.time()
         if reorder is None:
             reorder = (
                 self.initial_reorder_idxs
@@ -734,6 +752,7 @@ class Cohort:
                 else np.arange(self.n_pathways, dtype=np.int32)
             )
         edge_index, edge_attr, _ = self.build_edges(mask, train_idx)
+        _t_edges = _time.time()
         graph = Graph.from_edges(edge_index, edge_attr, self.num_nodes)
         # SAGE/GAT-family convs expect self-loops appended once per fold
         if cfg.gnn_name.lower() in ("sage", "rsage", "gat"):
@@ -746,6 +765,7 @@ class Cohort:
         if pad_edges_to is not None:
             graph = graph.pad_edges_to(pad_edges_to)
         graph = graph.with_sorted_meta()
+        _t_meta = _time.time()
         ctx = make_fold_context(
             graph,
             self.gene_pca_match,
@@ -759,6 +779,11 @@ class Cohort:
 
         ctx = _dc.replace(
             ctx, pathway_adj=jnp.asarray(self._last_pathway_adj)
+        )
+        log.info(
+            "fold %d deriv: mi %.2fs pca %.2fs edges %.2fs graph+meta %.2fs "
+            "ctx %.2fs", fold_i, _t_mi - _t0, _t_pca - _t_mi,
+            _t_edges - _t_pca, _t_meta - _t_edges, _time.time() - _t_meta,
         )
         return FoldData(
             ctx=ctx,
