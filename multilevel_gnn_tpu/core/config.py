@@ -236,6 +236,11 @@ class Config:
     slot_sizes: Optional[tuple] = None  # genes per pathway-omics slot (AE)
     kernel_backend: str = "xla"  # xla | pallas
     spmm_bf16: bool = False  # cast SpMM messages to bf16 (pallas path)
+    # windowed (locality-blocked) SpMM: contiguous window DMA + MXU
+    # adjacency blocks when the fold graph is community-local
+    # (ops/pallas/windowed.py); falls back automatically when the graph
+    # doesn't window (< 50% in-window edges)
+    windowed_spmm: bool = False
     mesh_data_axis: int = 1  # data-parallel mesh size
     mesh_model_axis: int = 1  # edge-partition mesh size
     ckpt_every: int = 0  # save {params,opt_state,loop} every N epochs (0=off)

@@ -57,6 +57,7 @@ class Graph:
     csr: Optional[object] = None
     csc: Optional[object] = None
     in_deg: Optional[jax.Array] = None
+    winplan: Optional[object] = None
 
     @staticmethod
     def from_edges(
@@ -190,6 +191,37 @@ class Graph:
             self, senders=dev[0], receivers=dev[1], edge_attr=dev[2],
             edge_mask=dev[3], csr=csr, csc=csc, in_deg=dev[4],
         )
+
+    def with_window_meta(
+        self,
+        perm_group: int = 1,
+        Wb: int = 1024,
+        nwin: int = 2,
+        min_frac: float = 0.5,
+    ) -> "Graph":
+        """Attach a windowed-SpMM plan (ops/pallas/windowed.py) when the
+        topology is local enough: contiguous window DMA + MXU adjacency
+        blocks replace the per-row gather for in-window edges.  Call
+        BEFORE with_sorted_meta (host arrays, avoids device readback).
+        perm_group=3 for the 3*gene+omics interleave (permutes genes,
+        keeping cross-omics edges adjacent).  No-op (returns self) when
+        fewer than min_frac of edges fit windows even after RCM."""
+        from multilevel_gnn_tpu.ops.pallas import windowed as _W
+
+        send = np.asarray(self.senders)
+        recv = np.asarray(self.receivers)
+        mask = np.asarray(self.edge_mask)
+        perm, f_id, f_best = _W.choose_node_perm(
+            send[mask], recv[mask], self.n_nodes, Wb=Wb, nwin=nwin,
+            group=perm_group,
+        )
+        if f_best < min_frac:
+            return self
+        plan = _W.build_plan(
+            send, recv, self.n_nodes, mask=mask, perm=perm, Wb=Wb,
+            nwin=nwin,
+        )
+        return dataclasses.replace(self, winplan=plan)
 
     def in_degree(self) -> jax.Array:
         """In-degree per node counting only real edges."""

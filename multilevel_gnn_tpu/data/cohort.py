@@ -764,6 +764,11 @@ class Cohort:
             )
         if pad_edges_to is not None:
             graph = graph.pad_edges_to(pad_edges_to)
+        if cfg.windowed_spmm and cfg.kernel_backend == "pallas":
+            # gene-grouped windows: node slots are 3*gene+omics, so
+            # perm_group=3 permutes genes and keeps cross-omics edges
+            # adjacent (build_edges layout, :562)
+            graph = graph.with_window_meta(perm_group=3)
         graph = graph.with_sorted_meta()
         _t_meta = _time.time()
         ctx = make_fold_context(

@@ -346,6 +346,21 @@ def gather_scatter(
         if reduce == "mean":
             inv = 1.0 / jnp.clip(graph.in_degree(), 1.0, None)
             w = w * inv[graph.receivers][:, None]
+        if getattr(graph, "winplan", None) is not None:
+            # locality-blocked path: contiguous window DMA + MXU adjacency
+            # blocks instead of the per-row gather (ops/pallas/windowed.py)
+            from multilevel_gnn_tpu.ops.pallas.windowed import (
+                windowed_spmm_2d,
+            )
+
+            x2, bc = _to_2d(x)
+            if _DTYPE is not None:
+                x2 = x2.astype(_DTYPE)
+            out2 = windowed_spmm_2d(
+                x2, w.astype(jnp.float32), graph.senders, graph.receivers,
+                graph.winplan,
+            )
+            return _from_2d(out2, bc)
         return _fused_spmm_sum(
             x, w, graph.senders, graph.receivers, graph.csr, graph.csc
         )

@@ -103,8 +103,8 @@ def shard_ctx(ctx: FoldContext, mesh: Mesh, pad_multiple: int = 1) -> FoldContex
         in_deg = g.in_deg
         g = g.pad_edges_to(target)
         g = _dc.replace(g, in_deg=in_deg)
-    if g.csr is not None or g.csc is not None:
-        g = _dc.replace(g, csr=None, csc=None)
+    if g.csr is not None or g.csc is not None or g.winplan is not None:
+        g = _dc.replace(g, csr=None, csc=None, winplan=None)
     if g is not ctx.graph:
         ctx = _dc.replace(ctx, graph=g)
     return _to_sharding(mesh, ctx_spec(ctx), ctx)
