@@ -195,7 +195,7 @@ class Graph:
     def with_window_meta(
         self,
         perm_group: int = 1,
-        Wb: int = 1024,
+        Wb: int = 512,
         nwin: int = 2,
         min_frac: float = 0.5,
     ) -> "Graph":

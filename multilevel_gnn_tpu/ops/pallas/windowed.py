@@ -263,7 +263,7 @@ def choose_node_perm(
     src: np.ndarray,
     dst: np.ndarray,
     num_nodes: int,
-    Wb: int = 1024,
+    Wb: int = 512,
     nwin: int = 2,
     tn: int = 128,
     group: int = 1,
@@ -340,8 +340,8 @@ def build_plan(
     mask: Optional[np.ndarray] = None,
     perm: Optional[np.ndarray] = None,
     tn: int = 128,
-    te: int = 512,
-    Wb: int = 1024,
+    te: int = 256,
+    Wb: int = 512,
     nwin: int = 2,
 ) -> WindowedPlan:
     """Build the full windowed plan (forward + transpose + residuals).
@@ -532,7 +532,7 @@ def windowed_exec(
     C = x2.shape[1]
     dsize = 2 if x2.dtype == jnp.bfloat16 else 4
     f32_exact = dsize == 4
-    tc_pref = 1024 if dsize == 2 else 256
+    tc_pref = 512 if dsize == 2 else 256
     tc_pref = min(tc_pref, _round_up(C, 128))
     # nf must be one of the precomputed step-array variants; pick the
     # smallest variant covering C at <= the preferred feature-tile width

@@ -70,7 +70,7 @@ def main():
     print(f"N={n} E={E}", file=sys.stderr)
 
     t0 = time.time()
-    perm, f_id, f_best = W.choose_node_perm(src, dst, n, group=3)
+    perm, f_id, f_best = W.choose_node_perm(src, dst, n, group=3, Wb=512, nwin=2)
     plan = W.build_plan(src, dst, n, perm=perm)
     print(
         f"plan: {time.time()-t0:.1f}s in_window={plan.in_window_frac:.3f} "
