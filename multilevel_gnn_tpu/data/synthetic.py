@@ -104,6 +104,48 @@ def write_reference_format(path: str, seed: int = 0, **kw) -> None:
     )
 
 
+def make_cohort_topology(
+    rng,
+    n_genes: int = 5135,
+    e_ppi: int = 45_000,
+    hub_frac: float = 0.10,
+    community: int = 60,
+):
+    """GBM-scale cohort-LIKE edge list (no self loops): 90% of PPI/GRN
+    edges community-banded in gene space + 10% uniform hub edges, each
+    replicated across the 3 interleaved omics slots (node = 3*gene+omics,
+    cohort.build_edges layout), plus CNV->mRNA / MT->mRNA cross-omics
+    edges between adjacent slots (reference multiloader.py:660-679).
+    This is the realistic topology class (STRING/GRNBoost2 gene graphs
+    are community-structured); uniform-random graphs are the worst case
+    for the windowed SpMM (ops/pallas/windowed.py) and do not occur in
+    the actual workload.  Returns (senders, receivers, n_nodes)."""
+    n_comm = (n_genes + community - 1) // community
+    e_local = int(e_ppi * (1 - hub_frac))
+    c = rng.randint(0, n_comm, e_local)
+    lo = c * community
+    s = lo + rng.randint(0, community, e_local)
+    d = lo + rng.randint(0, community, e_local)
+    keep = (s < n_genes) & (d < n_genes)
+    src_g, dst_g = s[keep], d[keep]
+    e_hub = e_ppi - len(src_g)
+    hubs = rng.choice(n_genes, 20, replace=False)
+    hs = hubs[rng.randint(0, 20, e_hub)]
+    hd = rng.randint(0, n_genes, e_hub)
+    src_g = np.concatenate([src_g, hs])
+    dst_g = np.concatenate([dst_g, hd])
+    src, dst = [], []
+    for oi in range(3):
+        src.append(3 * src_g + oi)
+        dst.append(3 * dst_g + oi)
+    genes = rng.choice(n_genes, n_genes // 2, replace=False)
+    src.append(3 * genes + 1)
+    dst.append(3 * genes)
+    src.append(3 * genes + 2)
+    dst.append(3 * genes)
+    return np.concatenate(src), np.concatenate(dst), 3 * n_genes
+
+
 def make_gbm_scale_setup(
     node_num: int = 5135,
     n_pathways: int = 146,
@@ -111,6 +153,8 @@ def make_gbm_scale_setup(
     batch: int = 32,
     gene_rows: int = 25015,
     seed: int = 0,
+    topology: str = "random",
+    windowed: bool = False,
 ):
     """GBM-production-scale flagship inputs built directly (no host
     pipeline): the same shapes bench.py measures on hardware
@@ -120,6 +164,11 @@ def make_gbm_scale_setup(
     Used by the TPU bench AND the GBM-scale virtual-mesh compile check
     (tests/test_parallel_gbm_scale.py, VERDICT r1 weak-8) so both stress
     identical shapes.  Returns (cfg, model, graph, ctx, batch).
+
+    topology: 'random' (uniform edges — worst case for locality) or
+    'cohort' (community-banded + cross-omics, make_cohort_topology — the
+    realistic class).  windowed=True attaches the windowed-SpMM plan
+    (Graph.with_window_meta) before sorted metadata.
     """
     import jax.numpy as jnp
 
@@ -141,15 +190,21 @@ def make_gbm_scale_setup(
         pca_indep_loss=True, feature_drop=True, weight_balance=True,
         batch_size=batch, kernel_backend="pallas",
     )
-    graph = (
-        Graph.from_edges(
+    if topology == "cohort":
+        send, recv, nodes_t = make_cohort_topology(rng, n_genes=node_num)
+        assert nodes_t == nodes
+        attr = rng.rand(len(send)).astype(np.float32)
+        graph = Graph.from_edges(np.stack([send, recv]), attr, nodes)
+    else:
+        graph = Graph.from_edges(
             rng.randint(0, nodes, size=(2, n_edges)),
             rng.rand(n_edges).astype(np.float32),
             nodes,
         )
-        .with_self_loops()
-        .with_sorted_meta()
-    )
+    graph = graph.with_self_loops()
+    if windowed:
+        graph = graph.with_window_meta(perm_group=3)
+    graph = graph.with_sorted_meta()
     ctx = make_fold_context(
         graph,
         rng.randint(-1, nodes, gene_rows),

@@ -668,9 +668,11 @@ def windowed_spmm_2d(x2, w, senders, receivers, plan):
         else out_p
     )
     if plan.res_idx is not None:
-        # composed fallback on the residual edges (original row space)
+        # composed fallback on the residual edges (original row space);
+        # weights follow x2's dtype so bf16 message mode stays single-pass
+        # in the flat kernel (f32 promotion would force the 3-limb path)
         r_send = _res_take(senders, plan.res_idx)
-        r_w = _res_take(w, plan.res_idx)
+        r_w = _res_take(w, plan.res_idx).astype(x2.dtype)
         ext = jnp.concatenate([r_send, jnp.zeros((1,), r_send.dtype)])
         flat_idx = jnp.take(ext, plan.res_csr.perm_pad, axis=0)
         wext = jnp.concatenate([r_w, jnp.zeros((1, 1), r_w.dtype)])
@@ -682,12 +684,16 @@ def windowed_spmm_2d(x2, w, senders, receivers, plan):
 
 def _wspmm_fwd(x2, w, senders, receivers, plan):
     out = windowed_spmm_2d(x2, w, senders, receivers, plan)
-    return out, (w, senders, receivers, plan)
+    # zero-size dtype witness: the backward runs at the FORWARD's message
+    # precision (bf16 mode would otherwise silently fall back to the ~1.5x
+    # slower f32-exact kernel variant on the cotangent side)
+    proto = jnp.zeros((0,), x2.dtype)
+    return out, (w, senders, receivers, plan, proto)
 
 
 def _wspmm_bwd(res, g):
-    w, senders, receivers, plan = res
-    gd = g.astype(jnp.float32)
+    w, senders, receivers, plan, proto = res
+    gd = g.astype(proto.dtype)
     gp = (
         permute_rows(gd, plan.inv_perm, plan.perm)
         if plan.perm is not None
@@ -700,7 +706,7 @@ def _wspmm_bwd(res, g):
         t_recv = _res_take(receivers, plan.tres_idx)
         if plan.perm is not None:
             t_recv = jnp.take(plan.perm, t_recv, axis=0)
-        t_w = _res_take(w, plan.tres_idx)
+        t_w = _res_take(w, plan.tres_idx).astype(gd.dtype)
         ext = jnp.concatenate([t_recv, jnp.zeros((1,), t_recv.dtype)])
         flat_idx = jnp.take(ext, plan.tres_csc.perm_pad, axis=0)
         wext = jnp.concatenate([t_w, jnp.zeros((1, 1), t_w.dtype)])
@@ -714,7 +720,7 @@ def _wspmm_bwd(res, g):
     )
     if plan.res_idx is not None:
         r_recv = _res_take(receivers, plan.res_idx)
-        r_w = _res_take(w, plan.res_idx)
+        r_w = _res_take(w, plan.res_idx).astype(gd.dtype)
         ext = jnp.concatenate([r_recv, jnp.zeros((1,), r_recv.dtype)])
         flat_idx = jnp.take(ext, plan.res_csc.perm_pad, axis=0)
         wext = jnp.concatenate([r_w, jnp.zeros((1, 1), r_w.dtype)])

@@ -117,6 +117,34 @@ def test_windowed_bf16_mode():
     )
 
 
+def test_windowed_bf16_gradient_with_residual():
+    """bf16 message mode must stay bf16 on the BACKWARD side too (the
+    cotangent rides the single-pass kernel + bf16 residual weights) and
+    still match the f64 oracle at bf16 tolerance."""
+    rng = np.random.RandomState(4)
+    n, e = 400, 2500
+    src, dst, w = _rand_graph(rng, n, e, banded=60)
+    src[:150] = rng.randint(0, n, 150)  # long-range -> residual spill
+    plan = W.build_plan(src, dst, n, Wb=128, nwin=2)
+    assert 0.5 < plan.in_window_frac < 1.0
+    x = rng.randn(n, 64).astype(np.float32)
+    g = rng.randn(n, 64).astype(np.float32)
+
+    def f(xx):
+        out = W.windowed_spmm_2d(
+            xx.astype(jnp.bfloat16), jnp.asarray(w),
+            jnp.asarray(src, jnp.int32), jnp.asarray(dst, jnp.int32), plan,
+        )
+        return jnp.vdot(out, jnp.asarray(g))
+
+    dx = jax.grad(f)(jnp.asarray(x))
+    ref = _oracle(g, w, dst, src, n)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(
+        np.asarray(dx), ref, atol=0.03 * scale, rtol=0.05
+    )
+
+
 def test_windowed_empty_graph():
     plan = W.build_plan(
         np.zeros(0, np.int64), np.zeros(0, np.int64), 200, Wb=128, nwin=2

@@ -13,40 +13,13 @@ import time
 import numpy as np
 
 
-def make_clustered_graph(rng, n_genes=5135, e_ppi=45_000, hub_frac=0.10,
-                         community=60):
-    src_g, dst_g = [], []
-    n_comm = (n_genes + community - 1) // community
-    e_local = int(e_ppi * (1 - hub_frac))
-    c = rng.randint(0, n_comm, e_local)
-    lo = c * community
-    s = lo + rng.randint(0, community, e_local)
-    d = lo + rng.randint(0, community, e_local)
-    keep = (s < n_genes) & (d < n_genes)
-    src_g, dst_g = s[keep], d[keep]
-    e_hub = e_ppi - len(src_g)
-    hubs = rng.choice(n_genes, 20, replace=False)
-    hs = hubs[rng.randint(0, 20, e_hub)]
-    hd = rng.randint(0, n_genes, e_hub)
-    src_g = np.concatenate([src_g, hs])
-    dst_g = np.concatenate([dst_g, hd])
-    # interleave 3 omics copies: node = 3*gene + omics
-    src, dst = [], []
-    for oi in range(3):
-        src.append(3 * src_g + oi)
-        dst.append(3 * dst_g + oi)
-    # cross-omics edges (adjacent slots)
-    genes = rng.choice(n_genes, n_genes // 2, replace=False)
-    src.append(3 * genes + 1)
-    dst.append(3 * genes)
-    src.append(3 * genes + 2)
-    dst.append(3 * genes)
-    # self loops
-    n = 3 * n_genes
+def make_clustered_graph(rng, **kw):
+    """Cohort-like topology + self loops (library fixture + loop append)."""
+    from multilevel_gnn_tpu.data.synthetic import make_cohort_topology
+
+    src, dst, n = make_cohort_topology(rng, **kw)
     loop = np.arange(n)
-    src.append(loop)
-    dst.append(loop)
-    return np.concatenate(src), np.concatenate(dst), n
+    return np.concatenate([src, loop]), np.concatenate([dst, loop]), n
 
 
 def main():
