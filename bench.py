@@ -85,7 +85,7 @@ def bench_spmm(backend: str, seed=0):
 
 
 def bench_train_step(backend="pallas", bf16=True, topology="random",
-                     windowed=False, seed=0):
+                     windowed=False, seed=0, compute_dtype=None):
     """seed: vary to defeat the axon tunnel's cross-process VALUE cache —
     an identical (executable, input-values) chain replayed in a later
     process reports elided times even though each step's inputs differ
@@ -94,6 +94,7 @@ def bench_train_step(backend="pallas", bf16=True, topology="random",
     import jax.numpy as jnp
 
     from multilevel_gnn_tpu.data.synthetic import make_gbm_scale_setup
+    from multilevel_gnn_tpu.models.multilevel_gnn import MultilevelGNN
     from multilevel_gnn_tpu.ops import spmm
     from multilevel_gnn_tpu.train.step import build_train_fns
 
@@ -102,6 +103,9 @@ def bench_train_step(backend="pallas", bf16=True, topology="random",
     cfg, model, graph, ctx, batch = make_gbm_scale_setup(
         topology=topology, windowed=windowed, seed=seed
     )
+    if compute_dtype is not None:
+        cfg = cfg.replace(compute_dtype=compute_dtype)
+        model = MultilevelGNN(cfg)
     B = batch.x.shape[0]
     fns = build_train_fns(model, cfg)
     params, opt_state = fns.init_state(jax.random.PRNGKey(0), batch, ctx, 10)
@@ -258,9 +262,15 @@ def main():
     # graph above is the worst case for locality and does not occur in the
     # actual workload.
     try:
-        for wtag, win in (("cohort", False), ("cohort_windowed", True)):
+        for wtag, win, cd in (
+            ("cohort", False, None),
+            ("cohort_windowed", True, None),
+            # the full shipped config stack: windowed + bf16 trunk
+            ("cohort_shipped", True, "bfloat16"),
+        ):
             dt_c, compile_s, n_edges_c, B = bench_train_step(
-                "pallas", bf16=True, topology="cohort", windowed=win, seed=seed
+                "pallas", bf16=True, topology="cohort", windowed=win,
+                seed=seed, compute_dtype=cd,
             )
             extras[f"train_step_{wtag}_ms"] = dt_c * 1e3
             print(

@@ -241,6 +241,10 @@ class Config:
     # (ops/pallas/windowed.py); falls back automatically when the graph
     # doesn't window (< 50% in-window edges)
     windowed_spmm: bool = False
+    # mixed precision: run the flagship GNN trunk (convs, gathers, pathway
+    # contraction) in bfloat16 with float32 params/optimizer/head/losses —
+    # the standard TPU production policy.  None/float32 = full f32.
+    compute_dtype: Optional[str] = None  # None | 'bfloat16'
     mesh_data_axis: int = 1  # data-parallel mesh size
     mesh_model_axis: int = 1  # edge-partition mesh size
     ckpt_every: int = 0  # save {params,opt_state,loop} every N epochs (0=off)

@@ -144,6 +144,16 @@ class MultilevelGNN(nn.Module):
         value-attention merge (reference autoencoder.py:97-103)."""
         cfg = self.cfg
         edge_attr = ctx.graph.edge_attr if cfg.weighted_edge else None
+        # mixed precision (cfg.compute_dtype='bfloat16'): trunk activations
+        # and conv compute in bf16, params/aggregation accumulators f32
+        cdt = (
+            jnp.bfloat16
+            if cfg.compute_dtype in ("bfloat16", "bf16")
+            else None
+        )
+        if cdt is not None:
+            x = x.astype(cdt)
+            mask_x = mask_x.astype(cdt)
         emb_dim = x.shape[-1]
         # reference :66-71 builds first + (num_layers-2) middles + last, so
         # num_layers<=2 still yields two blocks
@@ -165,6 +175,7 @@ class MultilevelGNN(nn.Module):
                 heads=cfg.final_head if i == n_layers - 1 else 8,
                 mlp_norm=cfg.gnn_mlp_norm,
                 drop=cfg.gnn_dropout,
+                dtype=cdt,
                 name=f"gnn_{i}{suffix}",
             )
             if cfg.dense_gnn:
@@ -180,7 +191,11 @@ class MultilevelGNN(nn.Module):
                 and (i + 1) % cfg.repeat_cyclic == 0
             ):
                 if cfg.repeat_norm:
-                    x = x / jnp.sqrt((x**2).sum(-1))[..., None]
+                    # norm stats in f32 under a reduced compute dtype
+                    n2 = jnp.sqrt(
+                        (x.astype(jnp.float32) ** 2).sum(-1)
+                    )[..., None]
+                    x = (x / n2.astype(x.dtype)).astype(x.dtype)
                 x = x * mask_x[..., None]
         if cfg.dense_gnn:
             x = jnp.concatenate(feature_list, axis=-1)
@@ -268,6 +283,8 @@ class MultilevelGNN(nn.Module):
             image, _ = self.learnable_pca_image(xg, ctx)
         else:
             image = self.runtime_pca_image(xg, ctx)
+        # head + losses stay f32 regardless of the trunk compute dtype
+        image = image.astype(jnp.float32)
         return image, image
 
     def runtime_pca_image(self, xg, ctx: FoldContext):

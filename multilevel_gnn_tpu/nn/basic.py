@@ -52,12 +52,16 @@ def act(x: jax.Array, act_type: Optional[str], neg_slope: float = 0.2) -> jax.Ar
 
 
 class BatchNorm1d(nn.Module):
-    """BatchNorm over all leading axes (torch BatchNorm1d on (B*N, C))."""
+    """BatchNorm over all leading axes (torch BatchNorm1d on (B*N, C)).
+
+    dtype: optional compute dtype (mixed precision); flax computes the
+    batch statistics in float32 regardless, params stay float32."""
 
     features: int
     momentum: float = 0.9  # torch momentum 0.1 == flax 0.9
     eps: float = 1e-5
     affine: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -69,6 +73,7 @@ class BatchNorm1d(nn.Module):
             epsilon=self.eps,
             use_bias=self.affine,
             use_scale=self.affine,
+            dtype=self.dtype,
         )(x2)
         return y.reshape(orig_shape)
 
@@ -78,6 +83,7 @@ class Norm(nn.Module):
 
     norm_type: str
     features: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -85,17 +91,19 @@ class Norm(nn.Module):
         if t == "none":
             return x
         if t == "batch":
-            return BatchNorm1d(self.features)(x, training)
+            return BatchNorm1d(self.features, dtype=self.dtype)(x, training)
         if t == "layer":
-            return nn.LayerNorm(epsilon=1e-5)(x)
+            return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         if t == "instance":
             # InstanceNorm1d(affine=False) on (N, C): per-sample, per-channel
             # normalization is ill-defined for 2D inputs; torch normalizes
             # over the length dim. For (..., C) we normalize over last axis
             # without affine, matching LayerNorm w/o params.
-            mean = x.mean(axis=-1, keepdims=True)
-            var = x.var(axis=-1, keepdims=True)
-            return (x - mean) * jax.lax.rsqrt(var + 1e-5)
+            # stats in f32 even under a reduced compute dtype
+            xs = x.astype(jnp.float32)
+            mean = xs.mean(axis=-1, keepdims=True)
+            var = xs.var(axis=-1, keepdims=True)
+            return ((xs - mean) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
         raise NotImplementedError(f"norm [{self.norm_type}] is not found")
 
 
@@ -106,11 +114,15 @@ def make_norm(norm_type: Optional[str], features: int) -> Optional[Norm]:
 
 
 class Linear(nn.Module):
-    """torch-default-initialized dense layer."""
+    """torch-default-initialized dense layer.
+
+    dtype: optional compute dtype (params stay float32; flax casts for the
+    matmul — the standard mixed-precision policy)."""
 
     features: int
     use_bias: bool = True
     kernel_init: Optional[jax.nn.initializers.Initializer] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
@@ -121,6 +133,7 @@ class Linear(nn.Module):
             use_bias=self.use_bias,
             kernel_init=kinit,
             bias_init=torch_bias_init(in_features),
+            dtype=self.dtype,
         )(x)
 
 
@@ -163,18 +176,22 @@ class MLP(nn.Module):
     drop: float = 0.0
     last_lin: bool = False
     kernel_init: Optional[jax.nn.initializers.Initializer] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         n = len(self.channels)
         for i in range(1, n):
             x = Linear(
-                self.channels[i], self.use_bias, kernel_init=self.kernel_init
+                self.channels[i], self.use_bias,
+                kernel_init=self.kernel_init, dtype=self.dtype,
             )(x)
             if i == n - 1 and self.last_lin:
                 continue
             if self.norm_type is not None and str(self.norm_type).lower() != "none":
-                x = Norm(self.norm_type, self.channels[i])(x, training)
+                x = Norm(
+                    self.norm_type, self.channels[i], dtype=self.dtype
+                )(x, training)
             if self.act_type is not None and self.act_type.lower() != "none":
                 if self.act_type.lower() == "prelu":
                     slope = self.param(

@@ -261,11 +261,14 @@ class RSAGEConv(nn.Module):
     use_bias: bool = True
     relative: bool = False
     drop: float = 0.0
+    dtype: Optional[jnp.dtype] = None  # mixed-precision compute dtype
 
     @nn.compact
     def __call__(self, x, graph: Graph, edge_attr=None, training: bool = False):
         w = _edge_weight(graph, edge_attr)
         mean_j = spmm.spmm_mean(x, graph, edge_weight=w)
+        if self.dtype is not None:
+            mean_j = mean_j.astype(self.dtype)  # spmm accumulates in f32
         if self.relative:
             mean_j = mean_j - x
         # lin_r: Linear(in, out, bias=False) — PyG SAGEConv root linear reused
@@ -275,8 +278,9 @@ class RSAGEConv(nn.Module):
             use_bias=False,
             kernel_init=torch_linear_init,
             name="lin_r",
+            dtype=self.dtype,
         )(mean_j)
-        h = jnp.concatenate([x, aggr], axis=-1)
+        h = jnp.concatenate([x.astype(aggr.dtype), aggr], axis=-1)
         out = MLP(
             [self.in_channels + self.out_channels, self.out_channels],
             act_type=self.act_type,
@@ -284,10 +288,15 @@ class RSAGEConv(nn.Module):
             use_bias=self.use_bias,
             drop=self.drop,
             name="nn",
+            dtype=self.dtype,
         )(h, training)
         if self.normalize:
-            out = out / jnp.clip(
-                jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12, None
+            # L2 stats in f32 even under a reduced compute dtype
+            n2 = jnp.linalg.norm(
+                out.astype(jnp.float32), axis=-1, keepdims=True
+            )
+            out = (out.astype(jnp.float32) / jnp.clip(n2, 1e-12, None)).astype(
+                out.dtype
             )
         return out
 
@@ -502,6 +511,9 @@ class GraphConvLayer(nn.Module):
     heads: int = 8
     mlp_norm: Optional[str] = None
     drop: float = 0.0
+    # mixed-precision compute dtype; honored by the sage/rsage path (the
+    # shipped configs); other convs compute f32 regardless
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, graph: Graph, edge_attr=None, training: bool = False):
@@ -512,13 +524,13 @@ class GraphConvLayer(nn.Module):
             return RSAGEConv(
                 self.in_channels, self.out_channels, self.act_type,
                 bool(self.norm), self.mlp_norm, self.use_bias, False,
-                self.drop, name="gconv",
+                self.drop, self.dtype, name="gconv",
             )(x, graph, edge_attr, training)
         if c == "rsage":
             return RSAGEConv(
                 self.in_channels, self.out_channels, self.act_type,
                 bool(self.norm), self.mlp_norm, self.use_bias, True,
-                self.drop, name="gconv",
+                self.drop, self.dtype, name="gconv",
             )(x, graph, edge_attr, training)
         if c == "gcn":
             return GCNConv(

@@ -727,8 +727,8 @@ def _wspmm_bwd(res, g):
         flat_w = jnp.take(wext, plan.res_csc.perm_pad, axis=0)
         msg = jnp.take(gd, flat_idx, axis=0) * flat_w
         dx = dx + flat_segment_sum(msg, plan.res_csc)
-    if dx.dtype != g.dtype:
-        dx = dx.astype(g.dtype)
+    if dx.dtype != proto.dtype:
+        dx = dx.astype(proto.dtype)  # cotangent in the primal x2 dtype
 
     def z(a):
         if a is None:

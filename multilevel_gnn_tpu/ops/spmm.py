@@ -142,11 +142,15 @@ def _fused_spmm_sum(x, w, senders, receivers, csr, csc):
 
 def _fused_fwd(x, w, senders, receivers, csr, csc):
     out = _fused_spmm_sum(x, w, senders, receivers, csr, csc)
-    return out, (w, receivers, csr, csc, x.ndim)
+    # dtype witness: the bwd must return d_x in the PRIMAL x dtype (JAX
+    # transpose rules use lax.mul with no promotion — an f32 cotangent
+    # against a bf16 operand downstream is a hard error)
+    proto = jnp.zeros((0,), x.dtype)
+    return out, (w, receivers, csr, csc, proto)
 
 
 def _fused_bwd(res, d_out):
-    w0, receivers, csr, csc, ndim = res
+    w0, receivers, csr, csc, proto = res
     g2, bc = _to_2d(d_out)
     w = w0
     if _DTYPE is not None:
@@ -155,8 +159,8 @@ def _fused_bwd(res, d_out):
     g = jnp.take(g2, _flat_index(receivers, csc), axis=0) * _flat_w(w, csc)
     d_x2 = flat_segment_sum(g, csc)
     d_x = _from_2d(d_x2, bc)
-    if d_x.dtype != d_out.dtype:
-        d_x = d_x.astype(d_out.dtype)
+    if d_x.dtype != proto.dtype:
+        d_x = d_x.astype(proto.dtype)
     return (
         d_x,
         jnp.zeros_like(w0),
@@ -186,14 +190,19 @@ def edge_segment_sum(msg, receivers, mask, csr):
 
 
 def _ess_fwd(msg, receivers, mask, csr):
-    return edge_segment_sum(msg, receivers, mask, csr), (receivers, mask, csr)
+    proto = jnp.zeros((0,), msg.dtype)
+    return edge_segment_sum(msg, receivers, mask, csr), (
+        receivers, mask, csr, proto,
+    )
 
 
 def _ess_bwd(res, d_out):
-    receivers, mask, csr = res
+    receivers, mask, csr, proto = res
     g2, bc = _to_2d(d_out)
     d2 = jnp.take(g2, receivers, axis=0) * mask[:, None].astype(g2.dtype)
     d_msg = _from_2d(d2, bc)
+    if d_msg.dtype != proto.dtype:
+        d_msg = d_msg.astype(proto.dtype)
     return (
         d_msg,
         np.zeros(receivers.shape, jax.dtypes.float0),
@@ -234,6 +243,8 @@ def _esm_bwd(res, d_out):
     g2, _ = _to_2d(d_out)
     sel = (m2 == jnp.take(o2, receivers, axis=0)) & mask[:, None]
     d2 = jnp.where(sel, jnp.take(g2, receivers, axis=0), 0.0)
+    if d2.dtype != m2.dtype:
+        d2 = d2.astype(m2.dtype)  # cotangent in the primal msg dtype
     return (
         _from_2d(d2, bc),
         np.zeros(receivers.shape, jax.dtypes.float0),
@@ -285,13 +296,16 @@ def gather_rows(x, idx, seg):
 
 
 def _gather_rows_fwd(x, idx, seg):
-    return gather_rows(x, idx, seg), (idx, seg)
+    proto = jnp.zeros((0,), x.dtype)
+    return gather_rows(x, idx, seg), (idx, seg, proto)
 
 
 def _gather_rows_bwd(res, d_out):
-    idx, seg = res
+    idx, seg, proto = res
     g2, bc = _to_2d(d_out)
     d_x = _from_2d(segment_sum_by(g2, seg, tc=512), bc)
+    if d_x.dtype != proto.dtype:
+        d_x = d_x.astype(proto.dtype)  # cotangent in the primal x dtype
     return (
         d_x,
         np.zeros(idx.shape, jax.dtypes.float0),

@@ -1,10 +1,13 @@
 """Decompose the flagship GBM-scale train step on TPU (pallas+bf16 path).
 
 Times: full step / fwd+bwd (no adam) / fwd only, at num_layers=2 and 1 to
-isolate the per-conv-layer cost.  Chained-input timing throughout (the axon
-tunnel value-caches identical executions of pure-XLA programs; CLAUDE.md):
-every timed function feeds params back through a tiny (1e-12-scaled)
-perturbation inside the SAME jit so no two executions see equal inputs.
+isolate the per-conv-layer cost.  Honest tunnel timing per CLAUDE.md:
+chained inputs (params perturbed through the jit), clock-derived data
+seed (the tunnel replays cached results of a previously-executed
+identical-values chain), and timed windows ending in a scalar
+device->host fetch (tunnel block_until_ready can return early).
+
+Usage: python tools/profile_step.py [random|cohort] [windowed]
 """
 import sys
 import time
@@ -22,25 +25,32 @@ def main():
     from multilevel_gnn_tpu.train.step import build_train_fns, make_loss_fn
     from multilevel_gnn_tpu.utils.runtime import enable_compilation_cache
 
+    topology = sys.argv[1] if len(sys.argv) > 1 else "random"
+    windowed = len(sys.argv) > 2 and sys.argv[2] == "windowed"
     enable_compilation_cache()
     print("devices:", jax.devices(), file=sys.stderr)
+    seed = int(time.time()) % 1_000_000
+    print(f"topology={topology} windowed={windowed} seed={seed}",
+          file=sys.stderr)
 
     spmm.set_backend("pallas")
     spmm.set_spmm_dtype(jnp.bfloat16)
-    iters = 10
+    iters = 20
 
     def timed_chain(fn, state):
         out = fn(state)
-        jax.block_until_ready(out)
+        _ = float(jnp.sum(jax.tree.leaves(out)[0]))
         t0 = time.perf_counter()
-        for _ in range(iters):
+        for _i in range(iters):
             out = fn(out)
-        jax.block_until_ready(out)
+        _ = float(jnp.sum(jax.tree.leaves(out)[0]))
         return (time.perf_counter() - t0) / iters
 
     try:
-        for layers in (2, 1):
-            cfg, model, graph, ctx, batch = make_gbm_scale_setup()
+        for layers in (4, 2):
+            cfg, model, graph, ctx, batch = make_gbm_scale_setup(
+                seed=seed, topology=topology, windowed=windowed
+            )
             if layers != 2:
                 cfg = cfg.replace(num_layers=layers)
                 model = MultilevelGNN(cfg)
