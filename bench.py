@@ -63,14 +63,17 @@ def bench_spmm(backend: str, seed=0):
     from multilevel_gnn_tpu.core.graph import Graph
     from multilevel_gnn_tpu.ops import spmm
 
-    rng = np.random.RandomState(seed)
+    # topology from a FIXED seed (stable shapes -> compile-cache hits);
+    # feature values from the caller's fresh seed (value-cache honesty)
+    rng = np.random.RandomState(0)
+    rng_data = np.random.RandomState(seed)
     N, E, B, C = 15405, 150_000, 32, 64
     edges = rng.randint(0, N, size=(2, E))
     attr = rng.rand(E).astype(np.float32)
     g = Graph.from_edges(edges, attr, N)
     if backend == "pallas":
         g = g.with_sorted_meta()
-    x = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    x = jnp.asarray(rng_data.randn(B, N, C).astype(np.float32))
 
     fn = jax.jit(
         lambda x: spmm.gather_scatter(x, g, "mean", g.edge_attr, backend=backend)
@@ -101,7 +104,11 @@ def bench_train_step(backend="pallas", bf16=True, topology="random",
     spmm.set_backend(backend)
     spmm.set_spmm_dtype(jnp.bfloat16 if (bf16 and backend == "pallas") else None)
     cfg, model, graph, ctx, batch = make_gbm_scale_setup(
-        topology=topology, windowed=windowed, seed=seed
+        topology=topology, windowed=windowed, seed=seed,
+        # pinned topology: executable shapes stay stable (compile-cache
+        # hits across rounds) while the clock-derived seed keeps batch
+        # values fresh (tunnel value-cache honesty)
+        topo_seed=0,
     )
     if compute_dtype is not None:
         cfg = cfg.replace(compute_dtype=compute_dtype)

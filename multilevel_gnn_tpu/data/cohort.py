@@ -769,7 +769,14 @@ class Cohort:
             # perm_group=3 permutes genes and keeps cross-omics edges
             # adjacent (build_edges layout, :562)
             graph = graph.with_window_meta(perm_group=3)
+        n_real_edges = graph.n_edges
         graph = graph.with_sorted_meta()
+        # normalize the n_edges STATIC to the padded count: the real count
+        # varies per fold and a fold-varying static keys a fresh jit
+        # compilation of every step (FoldData.edge_count keeps the real
+        # count for logging/metrics).  Must be LAST — with_self_loops /
+        # pad_edges_to slice by n_edges.
+        graph = dataclasses.replace(graph, n_edges=graph.num_padded_edges)
         _t_meta = _time.time()
         ctx = make_fold_context(
             graph,
@@ -800,5 +807,5 @@ class Cohort:
                 [self.pca_patients.index(p) for p in self.patients]
             ],
             reorder_idxs=reorder,
-            edge_count=graph.n_edges,
+            edge_count=n_real_edges,
         )

@@ -7,7 +7,7 @@ survival-correlated signal, clinical frame, and a GRNBoost2-style edge list.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -155,6 +155,7 @@ def make_gbm_scale_setup(
     seed: int = 0,
     topology: str = "random",
     windowed: bool = False,
+    topo_seed: Optional[int] = None,
 ):
     """GBM-production-scale flagship inputs built directly (no host
     pipeline): the same shapes bench.py measures on hardware
@@ -169,6 +170,12 @@ def make_gbm_scale_setup(
     'cohort' (community-banded + cross-omics, make_cohort_topology — the
     realistic class).  windowed=True attaches the windowed-SpMM plan
     (Graph.with_window_meta) before sorted metadata.
+
+    topo_seed: separate seed for the graph/context (defaults to seed).
+    bench.py pins it so executable SHAPES (windowed-plan statics) stay
+    stable across invocations — the persistent compile cache hits — while
+    a clock-derived `seed` keeps the batch VALUES fresh so the tunnel's
+    value cache cannot replay a previously-executed chain (CLAUDE.md).
     """
     import jax.numpy as jnp
 
@@ -176,7 +183,8 @@ def make_gbm_scale_setup(
     from multilevel_gnn_tpu.core.graph import Graph
     from multilevel_gnn_tpu.models.multilevel_gnn import MultilevelGNN
 
-    rng = np.random.RandomState(seed)
+    rng_data = np.random.RandomState(seed)
+    rng = np.random.RandomState(seed if topo_seed is None else topo_seed)
     K = 2
     nodes = 3 * node_num
     cfg = Config(
@@ -213,9 +221,11 @@ def make_gbm_scale_setup(
         n_pathways=n_pathways,
     )
     b = Batch(
-        x=jnp.asarray(rng.randn(batch, nodes).astype(np.float32)),
-        y=jnp.asarray(np.eye(2, dtype=np.float32)[rng.randint(0, 2, batch)]),
-        age=jnp.asarray(rng.rand(batch).astype(np.float32) * 80),
+        x=jnp.asarray(rng_data.randn(batch, nodes).astype(np.float32)),
+        y=jnp.asarray(
+            np.eye(2, dtype=np.float32)[rng_data.randint(0, 2, batch)]
+        ),
+        age=jnp.asarray(rng_data.rand(batch).astype(np.float32) * 80),
         sample_mask=jnp.ones(batch, bool),
     )
     return cfg, MultilevelGNN(cfg), graph, ctx, b

@@ -91,9 +91,18 @@ class SortedSegments:
         tn: int = 128,
         te: int = 1024,
         mask: Optional[np.ndarray] = None,
+        flat_bucket: int = 32,
     ) -> "SortedSegments":
         """ids: (E,) host array (any order); mask False => dropped; negative
-        or out-of-range ids dropped."""
+        or out-of-range ids dropped.
+
+        flat_bucket: the flat chunk count Cf depends on the per-tile id
+        DISTRIBUTION, not just len(ids) — without bucketing, every CV fold
+        gets a different static shape and recompiles every jitted program
+        (measured: ~30-60 s of per-fold compile gaps in the synthetic CV).
+        Cf is rounded up to a multiple of flat_bucket with all-padding
+        chunks appended to the last tile (zero contribution: ids sentinel
+        + perm_pad one-past-end slots)."""
         assert te % 128 == 0
         ids = np.asarray(ids, np.int64).copy()
         if mask is not None:
@@ -118,7 +127,9 @@ class SortedSegments:
         cf = np.minimum(first // te, n_chunks_total - 1)
         cl = np.maximum((np.maximum(last, 1) - 1) // te, cf)
         n_chunks = np.where(last > first, cl - cf + 1, 0)
-        max_chunks = int(max(n_chunks.max(), 1))
+        # rounded up for cross-fold executable-shape stability (grid dim
+        # of the non-flat kernel path)
+        max_chunks = int(_round_up(max(n_chunks.max(), 1), 8))
         # sentinel all-padding chunk at index n_chunks_total
         ids3d = np.concatenate(
             [sorted_ids, np.full(te, num_segments, np.int64)]
@@ -130,6 +141,10 @@ class SortedSegments:
         per_tile = np.maximum(last - first, 0)
         tile_chunks = np.maximum((per_tile + te - 1) // te, 1)
         Cf = int(tile_chunks.sum())
+        if flat_bucket > 1:
+            Cf_b = max(_round_up(Cf, flat_bucket), flat_bucket)
+            tile_chunks[-1] += Cf_b - Cf  # all-padding chunks, last tile
+            Cf = Cf_b
         owner = np.repeat(np.arange(n_tiles), tile_chunks).astype(np.int32)
         flat_ids = np.full(Cf * te, num_segments, np.int64)
         perm_pad = np.full(Cf * te, E, np.int64)

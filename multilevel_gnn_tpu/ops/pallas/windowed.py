@@ -108,14 +108,17 @@ class WindowedPlan:
     inv_perm: Optional[jax.Array]
     num_nodes: int = dataclasses.field(metadata=dict(static=True))
     n_edges: int = dataclasses.field(metadata=dict(static=True))
-    n_res: int = dataclasses.field(metadata=dict(static=True))
-    n_tres: int = dataclasses.field(metadata=dict(static=True))
-    tn: int = dataclasses.field(metadata=dict(static=True))
-    te: int = dataclasses.field(metadata=dict(static=True))
-    Wb: int = dataclasses.field(metadata=dict(static=True))
-    nwin: int = dataclasses.field(metadata=dict(static=True))
-    n_win_rows: int = dataclasses.field(metadata=dict(static=True))
-    in_window_frac: float = dataclasses.field(metadata=dict(static=True))
+    # informational stats as 0-d ARRAYS (data fields): they vary per CV
+    # fold, and a varying static would key a fresh jit compilation even
+    # though every array shape is bucket-stable (tests/test_shape_stability)
+    n_res: jax.Array = None
+    n_tres: jax.Array = None
+    in_window_frac: jax.Array = None
+    tn: int = dataclasses.field(metadata=dict(static=True), default=128)
+    te: int = dataclasses.field(metadata=dict(static=True), default=256)
+    Wb: int = dataclasses.field(metadata=dict(static=True), default=512)
+    nwin: int = dataclasses.field(metadata=dict(static=True), default=2)
+    n_win_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
 
 
 def _best_window(srcs: np.ndarray, Wb: int, nwin: int, n_row_blocks: int):
@@ -212,6 +215,20 @@ def _build_side(
     bases = (
         np.asarray(chunk_bases, np.int64) if Cw else np.zeros(0, np.int64)
     )
+    # bucket the chunk count: Cw depends on the edge DISTRIBUTION, so
+    # without padding every CV fold is a new static shape and recompiles
+    # the step (same rationale as SortedSegments flat_bucket).  Padding
+    # chunks are all-sentinel (weight 0 via perm -1 -> E) on the last tile.
+    CHUNK_BUCKET = 32
+    Cw_b = max(_round_up(max(Cw, 1), CHUNK_BUCKET), CHUNK_BUCKET)
+    if Cw_b != Cw:
+        padn = Cw_b - Cw
+        ids = np.concatenate([ids, np.full(padn * te, num_nodes, np.int64)])
+        offs = np.concatenate([offs, np.full(padn * te, SW, np.int64)])
+        perm = np.concatenate([perm, np.full(padn * te, -1, np.int64)])
+        bases = np.concatenate([bases, np.zeros(padn, np.int64)])
+        tile_chunks[-1] += padn
+        Cw = Cw_b
     # sentinel all-padding chunk at index Cw
     ids = np.concatenate([ids, np.full(te, num_nodes, np.int64)])
     offs = np.concatenate([offs, np.full(te, SW, np.int64)])
@@ -384,20 +401,33 @@ def build_plan(
     )
 
     def seg_for(ids_sub, n):
-        return SortedSegments.build(ids_sub, num_nodes, te=te)
+        return SortedSegments.build(ids_sub, num_nodes, te=te, flat_bucket=8)
 
-    res_idx = res.astype(np.int64)
-    tres_idx = tres.astype(np.int64)
+    # residual counts are distribution-dependent; bucket them so CV folds
+    # share executables (sentinel edge id = E reads a zero row / zero
+    # weight at the take sites, and its segment id num_nodes is dropped
+    # by SortedSegments as padding)
+    RES_BUCKET = 512
+
+    def pad_idx(idx):
+        n = max(_round_up(max(len(idx), 1), RES_BUCKET), RES_BUCKET)
+        return np.concatenate([idx, np.full(n - len(idx), E, np.int64)])
+
+    res_idx = pad_idx(res.astype(np.int64))
+    tres_idx = pad_idx(tres.astype(np.int64))
+
+    def ids_for(base, idx):
+        out = np.full(len(idx), num_nodes, np.int64)
+        real = idx < E
+        out[real] = base[np.searchsorted(edge_id, idx[real])]
+        return out
+
     # residual composed-path metadata (original-id space)
-    res_csr = res_csc = tres_csc = None
-    if len(res_idx):
-        res_csr = seg_for(receivers[np.searchsorted(edge_id, res_idx)], None)
-        res_csc = seg_for(senders[np.searchsorted(edge_id, res_idx)], None)
-    if len(tres_idx):
-        pos = np.searchsorted(edge_id, tres_idx)
-        # transpose residual aggregates d_x[src] += g[dst]*w: segments by
-        # SENDER in the (possibly permuted) windowed space
-        tres_csc = seg_for(src[pos], None)
+    res_csr = seg_for(ids_for(receivers, res_idx), None)
+    res_csc = seg_for(ids_for(senders, res_idx), None)
+    # transpose residual aggregates d_x[src] += g[dst]*w: segments by
+    # SENDER in the (possibly permuted) windowed space
+    tres_csc = seg_for(ids_for(src, tres_idx), None)
 
     inv = None
     if perm is not None:
@@ -416,14 +446,16 @@ def build_plan(
         inv_perm=jnp.asarray(inv, jnp.int32) if inv is not None else None,
         num_nodes=num_nodes,
         n_edges=E,
-        n_res=len(res_idx),
-        n_tres=len(tres_idx),
+        # REAL residual counts (res_idx is bucket-padded); data fields so
+        # fold-varying values don't key fresh jit compilations
+        n_res=np.int32(len(res)),
+        n_tres=np.int32(len(tres)),
+        in_window_frac=np.float32(in_win.sum() / max(len(edge_id), 1)),
         tn=tn,
         te=te,
         Wb=Wb,
         nwin=nwin,
         n_win_rows=n_row_blocks * Wb,
-        in_window_frac=float(in_win.sum() / max(len(edge_id), 1)),
     )
 
 
@@ -643,7 +675,11 @@ permute_rows.defvjp(_perm_fwd, _perm_bwd)
 
 
 def _res_take(arr, idx):
-    return jnp.take(arr, idx, axis=0)
+    """Gather residual edges by ORIGINAL edge id; the bucket-padding
+    sentinel id == len(arr) reads an appended zero row (zero weight /
+    node 0), so padded entries contribute nothing."""
+    ext = jnp.concatenate([arr, jnp.zeros((1,) + arr.shape[1:], arr.dtype)])
+    return jnp.take(ext, idx, axis=0)
 
 
 @jax.custom_vjp
