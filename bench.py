@@ -2,9 +2,12 @@
 
 Headline metric: edges/s/chip of the FULL flagship train step (fwd + bwd +
 adam, incl. gather, conv stack, heads) at GBM production scale
-(N=15405 node slots, E=165k edges incl self loops, B=32, C=64), on the
-shipped config path (pallas kernels + bf16 messages).  vs_baseline is the
-speedup over the same step on the XLA-backend fallback.
+(N=15405 node slots, E~154k edges incl self loops, B=32, C=64), on the
+shipped config stack (pallas kernels + bf16 messages + windowed SpMM +
+bf16 compute trunk) over the realistic cohort-like community topology.
+vs_baseline is the speedup over the same step on the XLA-backend fallback
+on the SAME graph.  Random-topology (locality worst case) numbers are
+kept as extra fields for continuity with earlier rounds.
 
 Extra fields in the same JSON object (VERDICT r1 #8):
   spmm_{pallas_f32,pallas_bf16,xla}_edges_per_s — the kernel micro-bench
@@ -264,26 +267,37 @@ def main():
               file=sys.stderr)
 
     # --- 2b. realistic (cohort-like community) topology: composed vs the
-    # windowed locality-blocked SpMM (cfg.windowed_spmm).  Real STRING/GRN
-    # cohort graphs are community-structured; the uniform-random headline
-    # graph above is the worst case for locality and does not occur in the
-    # actual workload.
+    # windowed locality-blocked SpMM (cfg.windowed_spmm) vs the FULL
+    # shipped config stack (windowed + bf16 compute trunk), plus the XLA
+    # backend on the SAME graph.  Real STRING/GRN cohort graphs are
+    # community-structured; the uniform-random graph above is the worst
+    # case for locality and does not occur in the actual workload — so the
+    # shipped-stack number on this topology is the HEADLINE, with
+    # vs_baseline the like-for-like XLA-backend step on the same graph.
     try:
-        for wtag, win, cd in (
-            ("cohort", False, None),
-            ("cohort_windowed", True, None),
-            # the full shipped config stack: windowed + bf16 trunk
-            ("cohort_shipped", True, "bfloat16"),
+        for wtag, backend, bf16, win, cd in (
+            ("cohort_xla", "xla", False, False, None),
+            ("cohort", "pallas", True, False, None),
+            ("cohort_windowed", "pallas", True, True, None),
+            ("cohort_shipped", "pallas", True, True, "bfloat16"),
         ):
             dt_c, compile_s, n_edges_c, B = bench_train_step(
-                "pallas", bf16=True, topology="cohort", windowed=win,
+                backend, bf16=bf16, topology="cohort", windowed=win,
                 seed=seed, compute_dtype=cd,
             )
             extras[f"train_step_{wtag}_ms"] = dt_c * 1e3
             print(
-                f"flagship train step pallas-bf16 {wtag} (E={n_edges_c}): "
+                f"flagship train step {wtag} (E={n_edges_c}): "
                 f"{dt_c*1e3:.2f} ms (compile {compile_s:.1f}s)",
                 file=sys.stderr,
+            )
+        if extras.get("train_step_cohort_shipped_ms"):
+            step_eps = B * n_edges_c / (
+                extras["train_step_cohort_shipped_ms"] / 1e3
+            )
+            step_vs = (
+                extras["train_step_cohort_xla_ms"]
+                / extras["train_step_cohort_shipped_ms"]
             )
     except Exception as e:
         print(f"cohort-topology step bench failed: {type(e).__name__}: {e}",
