@@ -189,6 +189,7 @@ def run_fold(
         fold = cohort.deepergcn_fold(np.asarray(train_idx), fold_i)
         X = cohort.gene_level_features()
         raw = fold.pathway_node_attr.astype(np.float32)
+        _mark("cohort.fold")
         cfg = cfg.replace(
             pathway_edge_num=max(getattr(cohort, "pathway_edge_num", 0), 1),
             node_num=cohort.node_size + cohort.n_pathways,

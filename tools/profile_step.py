@@ -27,6 +27,7 @@ def main():
 
     topology = sys.argv[1] if len(sys.argv) > 1 else "random"
     windowed = len(sys.argv) > 2 and sys.argv[2] == "windowed"
+    mp = len(sys.argv) > 3 and sys.argv[3] == "mp"
     enable_compilation_cache()
     print("devices:", jax.devices(), file=sys.stderr)
     seed = int(time.time()) % 1_000_000
@@ -47,12 +48,15 @@ def main():
         return (time.perf_counter() - t0) / iters
 
     try:
-        for layers in (4, 2):
+        for layers in (2,):
             cfg, model, graph, ctx, batch = make_gbm_scale_setup(
                 seed=seed, topology=topology, windowed=windowed
             )
-            if layers != 2:
-                cfg = cfg.replace(num_layers=layers)
+            if layers != 2 or mp:
+                cfg = cfg.replace(
+                    num_layers=layers,
+                    compute_dtype="bfloat16" if mp else None,
+                )
                 model = MultilevelGNN(cfg)
             fns = build_train_fns(model, cfg)
             params, opt_state = fns.init_state(
