@@ -133,18 +133,30 @@ class DeeperGCN(nn.Module):
             else:
                 h = jax.nn.relu(p_emb)
 
+        # mixed precision: conv stack in bf16, encoders/readout/head f32
+        cdt = (
+            jnp.bfloat16
+            if cfg.compute_dtype in ("bfloat16", "bf16")
+            else None
+        )
+        if cdt is not None and h is not None:
+            h = h.astype(cdt)
+            if edge_emb is not None:
+                edge_emb = edge_emb.astype(cdt)
         gcns = [
             GENConv(
                 H, H, aggr=cfg.gcn_aggr, t=cfg.t, learn_t=cfg.learn_t,
                 p=cfg.p, learn_p=cfg.learn_p, msg_norm=cfg.msg_norm,
                 learn_msg_scale=cfg.learn_msg_scale, encode_edge=False,
                 norm_type=cfg.norm, mlp_layers=cfg.mlp_layers,
+                dtype=cdt,
                 name=f"gcn_{i}",
             )
             for i in range(cfg.num_layers)
         ]
         norms = [
-            Norm(cfg.norm, H, name=f"norm_{i}") for i in range(cfg.num_layers)
+            Norm(cfg.norm, H, dtype=cdt, name=f"norm_{i}")
+            for i in range(cfg.num_layers)
         ]
 
         def drop(v):
@@ -176,6 +188,7 @@ class DeeperGCN(nn.Module):
                 h = drop(h)
         else:
             raise NotImplementedError(cfg.block)
+        h = h.astype(jnp.float32)  # readout + head stay f32
 
         if cfg.pathway_global_node:
             pw = h[:, -P:, :] if not cfg.pca_only else h[:, :P, :]  # (B, P, H)

@@ -95,7 +95,11 @@ class GenAggregate(nn.Module):
                 return spmm.edge_segment_max(msg, recv, mask, graph.csr)
             return seg.segment_max(msg, recv, n, mask=mask)
         if self.aggr in SOFTMAX_AGGRS:
+            # softmax statistics in f32 even under a bf16 compute dtype
+            # (exp/normalize); the weighted message product drops back to
+            # msg.dtype so the segment sum rides the fast kernel variant
             def softmax_w(z):
+                z = z.astype(jnp.float32)
                 if pallas:
                     return spmm.segment_softmax_weights(z, graph)
                 return seg.segment_softmax(z, recv, n, mask=mask)
@@ -108,7 +112,7 @@ class GenAggregate(nn.Module):
                 # not learned (torch_message.py:54-55)
                 w = softmax_w(jax.lax.stop_gradient(msg) * self.t)
                 w = jax.lax.stop_gradient(w)
-            out = segsum(msg * w)
+            out = segsum(msg * w.astype(msg.dtype))
             if self.aggr == "softmax_sum":
                 y = self.param("y", lambda k, s: jnp.full(s, self.y), (1,))
                 if not self.learn_y:
@@ -122,7 +126,9 @@ class GenAggregate(nn.Module):
                 p = self.param("p", lambda k, s: jnp.full(s, self.p), (1,))
             else:
                 p = self.p
-            msg = jnp.clip(msg, min_v, max_v)
+            # power-mean math in f32 (clamps to 1e-7 + fractional powers
+            # are not representable at bf16 precision)
+            msg = jnp.clip(msg.astype(jnp.float32), min_v, max_v)
             out = segmean(jnp.power(msg, p))
             out = jnp.clip(out, min_v, max_v)
             out = jnp.power(out, 1.0 / p)
@@ -157,6 +163,7 @@ class GENConv(nn.Module):
     eps: float = 1e-7
     pca_only: bool = False
     gnn_encoder: str = "linear"  # 'linear' MLP | 'conv1x1' Linear+ReLU
+    dtype: Optional[jnp.dtype] = None  # mixed-precision compute dtype
 
     def _feature_encoder_channels(self):
         chans = [self.in_dim]
@@ -167,10 +174,12 @@ class GENConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph: Graph, edge_attr=None, training: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         if self.gnn_encoder == "conv1x1":
             # Conv1d(in, emb, 1) + ReLU == per-node Linear + ReLU
             # (reference torch_vertex.py:46-50)
-            enc = Linear(self.emb_dim, name="feature_encoder")
+            enc = Linear(self.emb_dim, name="feature_encoder", dtype=self.dtype)
 
             def encoder(h, _training):
                 return jax.nn.relu(enc(h))
@@ -180,24 +189,27 @@ class GENConv(nn.Module):
                 norm_type=self.norm_type,
                 last_lin=True,
                 name="feature_encoder",
+                dtype=self.dtype,
             )
         if self.pca_only:
             return encoder(x, training)
         if self.encode_edge and edge_attr is not None:
-            e = Linear(self.in_dim, name="edge_encoder")(edge_attr)
+            e = Linear(self.in_dim, name="edge_encoder", dtype=self.dtype)(
+                edge_attr
+            )
         else:
             e = edge_attr
         msg = spmm.gather_src(x, graph)
         if e is not None:
-            msg = msg + e
-        msg = jax.nn.relu(msg) + self.eps
+            msg = msg + e.astype(msg.dtype)
+        msg = jax.nn.relu(msg) + jnp.asarray(self.eps, msg.dtype)
         m = GenAggregate(
             self.aggr, self.t, self.learn_t, self.p, self.learn_p, self.y,
             self.learn_y, name="aggregate",
         )(msg, graph)
         if self.msg_norm:
             m = MsgNorm(self.learn_msg_scale, name="msg_norm")(x, m)
-        h = x + m
+        h = x + m.astype(x.dtype)
         return encoder(h, training)
 
 
@@ -311,20 +323,24 @@ class GCNConv(nn.Module):
     act_type: Optional[str] = "relu"
     norm_type: Optional[str] = None
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, graph: Graph, edge_attr=None, training: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         xw = nn.Dense(
             self.out_channels,
             use_bias=False,
             kernel_init=xavier_uniform,
             name="lin",
+            dtype=self.dtype,
         )(x)
         deg = graph.in_degree() + 1.0  # A + I
         dinv = jax.lax.rsqrt(deg)
         coef = dinv[graph.senders] * dinv[graph.receivers]
-        agg = spmm.spmm_sum(xw, graph, edge_weight=coef)
-        agg = agg + xw * (dinv * dinv)[:, None]  # self loop contribution
+        agg = spmm.spmm_sum(xw, graph, edge_weight=coef).astype(xw.dtype)
+        agg = agg + xw * (dinv * dinv)[:, None].astype(xw.dtype)
         if self.use_bias:
             b = self.param("bias", jax.nn.initializers.zeros, (self.out_channels,))
             agg = agg + b
@@ -407,10 +423,13 @@ class GINConv(nn.Module):
     norm_type: Optional[str] = None
     use_bias: bool = True
     eps: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, graph: Graph, edge_attr=None, training: bool = False):
-        agg = spmm.spmm_sum(x, graph)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        agg = spmm.spmm_sum(x, graph).astype(x.dtype)
         h = (1.0 + self.eps) * x + agg
         return MLP(
             [self.in_channels, self.out_channels],
@@ -418,6 +437,7 @@ class GINConv(nn.Module):
             norm_type=self.norm_type,
             use_bias=self.use_bias,
             name="nn",
+            dtype=self.dtype,
         )(h, training)
 
 
@@ -429,9 +449,12 @@ class MRConv(nn.Module):
     act_type: str = "relu"
     norm_type: Optional[str] = None
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, graph: Graph, edge_attr=None, training: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         diff = spmm.gather_src(x, graph) - spmm.gather_dst(x, graph)
         if spmm.get_backend() == "pallas" and graph.csr is not None:
             agg = spmm.edge_segment_max(
@@ -441,13 +464,14 @@ class MRConv(nn.Module):
             agg = seg.segment_max(
                 diff, graph.receivers, graph.n_nodes, mask=graph.edge_mask
             )
-        h = jnp.concatenate([x, agg], axis=-1)
+        h = jnp.concatenate([x, agg.astype(x.dtype)], axis=-1)
         return MLP(
             [2 * self.in_channels, self.out_channels],
             act_type=self.act_type,
             norm_type=self.norm_type,
             use_bias=self.use_bias,
             name="nn",
+            dtype=self.dtype,
         )(h, training)
 
 
@@ -460,9 +484,12 @@ class EdgeConv(nn.Module):
     act_type: str = "relu"
     norm_type: Optional[str] = None
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, graph: Graph, edge_attr=None, training: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x_i = spmm.gather_dst(x, graph)
         x_j = spmm.gather_src(x, graph)
         msg = jnp.concatenate([x_i, x_j - x_i], axis=-1)
@@ -472,6 +499,7 @@ class EdgeConv(nn.Module):
             norm_type=self.norm_type,
             use_bias=self.use_bias,
             name="nn",
+            dtype=self.dtype,
         )(msg, training)
         if spmm.get_backend() == "pallas" and graph.csr is not None:
             return spmm.edge_segment_max(
@@ -511,8 +539,10 @@ class GraphConvLayer(nn.Module):
     heads: int = 8
     mlp_norm: Optional[str] = None
     drop: float = 0.0
-    # mixed-precision compute dtype; honored by the sage/rsage path (the
-    # shipped configs); other convs compute f32 regardless
+    # mixed-precision compute dtype; honored by sage/rsage (the shipped
+    # configs), gcn, gin, mr, and edge.  GAT stays f32 (attention
+    # softmax + per-head epilogue; bf16 there is accuracy-risky for
+    # marginal traffic savings at C<=64).
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -536,7 +566,7 @@ class GraphConvLayer(nn.Module):
             return GCNConv(
                 self.in_channels, self.out_channels, self.act_type,
                 self.norm if isinstance(self.norm, str) else None,
-                self.use_bias, name="gconv",
+                self.use_bias, self.dtype, name="gconv",
             )(x, graph, edge_attr, training)
         if c == "gat":
             return GATConv(
@@ -549,18 +579,18 @@ class GraphConvLayer(nn.Module):
             return GINConv(
                 self.in_channels, self.out_channels, self.act_type,
                 self.norm if isinstance(self.norm, str) else None,
-                self.use_bias, name="gconv",
+                self.use_bias, dtype=self.dtype, name="gconv",
             )(x, graph, edge_attr, training)
         if c == "mr":
             return MRConv(
                 self.in_channels, self.out_channels, self.act_type,
                 self.norm if isinstance(self.norm, str) else None,
-                self.use_bias, name="gconv",
+                self.use_bias, self.dtype, name="gconv",
             )(x, graph, edge_attr, training)
         if c == "edge":
             return EdgeConv(
                 self.in_channels, self.out_channels, self.act_type,
                 self.norm if isinstance(self.norm, str) else None,
-                self.use_bias, name="gconv",
+                self.use_bias, self.dtype, name="gconv",
             )(x, graph, edge_attr, training)
         raise NotImplementedError(f"conv {self.conv} is not implemented")

@@ -82,6 +82,66 @@ def test_bf16_trunk_matches_f32(backend, windowed):
         )
 
 
+def test_bf16_trunk_deepergcn_matches_f32():
+    """GENConv stack (DeeperGCN family) under compute_dtype: same f32
+    param tree, forward/grads close (softmax-aggregation stats stay f32)."""
+    from multilevel_gnn_tpu.models.deepergcn import DeeperGCN
+
+    cfg = gbm_like_cfg(
+        model="deepergcn", conv="gen", gcn_aggr="softmax", block="res+",
+        num_layers=3, hidden_channels=16, mlp_layers=2, norm="layer",
+        node_embedding=True, node_embedding_dim=4, use_edge_attr=True,
+        global_edge="onehot", pathway_readout="maxpool",
+        graph_pooling="mean", num_layer_head=2, pre_concat_age=True,
+        learn_t=True,
+    )
+    cohort = make_synthetic_cohort(cfg, seed=0, n_patients=30, n_pathways=8)
+    cfg = cfg.replace(
+        pathway_num=cohort.n_pathways,
+        node_num=cohort.node_size + cohort.n_pathways,
+    )
+    fold = cohort.deepergcn_fold(np.arange(18), 0)
+    cfg = cfg.replace(pathway_edge_num=max(cohort.pathway_edge_num, 1))
+    Xg = cohort.gene_level_features()
+    from multilevel_gnn_tpu.core.batch import Batch
+
+    B = 4
+    batch = Batch(
+        x=jnp.asarray(Xg[:B]),
+        y=jnp.asarray(cohort.Y[:B]),
+        age=jnp.asarray(cohort.ages[:B]),
+        sample_mask=jnp.ones(B, bool),
+        raw_data=jnp.asarray(fold.pathway_node_attr[:B].astype(np.float32)),
+    )
+    cw = jnp.ones(2, jnp.float32)
+    key = jax.random.PRNGKey(1)
+
+    model = DeeperGCN(cfg)
+    loss_fn = make_loss_fn(model, cfg)
+    params = model.init(jax.random.PRNGKey(0), batch, fold.ctx, False)
+    (l32, p32), g32 = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, batch, fold.ctx, cw, key
+    )
+
+    model_b = DeeperGCN(cfg.replace(compute_dtype="bfloat16"))
+    loss_b = make_loss_fn(model_b, cfg.replace(compute_dtype="bfloat16"))
+    params_b = model_b.init(jax.random.PRNGKey(0), batch, fold.ctx, False)
+    assert jtu.tree_structure(params) == jtu.tree_structure(params_b)
+    (lb, pb), gb = jax.value_and_grad(loss_b, has_aux=True)(
+        params, batch, fold.ctx, cw, key
+    )
+    assert np.isfinite(float(lb))
+    np.testing.assert_allclose(float(lb), float(l32), rtol=3e-2)
+    np.testing.assert_allclose(
+        np.asarray(pb), np.asarray(p32), atol=3e-2, rtol=5e-2
+    )
+    for (path, x), y in zip(
+        jtu.tree_leaves_with_path(g32), jtu.tree_leaves(gb)
+    ):
+        assert y.dtype == x.dtype, (jtu.keystr(path), y.dtype)
+        assert bool(jnp.isfinite(y).all()), jtu.keystr(path)
+
+
 def test_bf16_trunk_cv_auc_within_tolerance():
     cfg = gbm_like_cfg(
         epochs=5,
