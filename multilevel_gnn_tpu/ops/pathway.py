@@ -45,7 +45,10 @@ def pathway_contract(
         M = onehot if onehot is not None else slot_onehot(seg_ids, num_slots)
         outs = []
         for k in range(K):
-            Wk = M * pca_params[None, :, k]  # (S, G)
+            # static slice, NOT int-index take: take's transpose is an XLA
+            # scatter (the banned op class); a slice transposes to pad
+            Pk = jax.lax.slice_in_dim(pca_params, k, k + 1, axis=1)  # (G, 1)
+            Wk = M * Pk.T  # (S, G)
             outs.append(
                 jnp.einsum(
                     "sg,bgc->bcs", Wk, xg, preferred_element_type=jnp.float32
