@@ -57,7 +57,14 @@ class AutoEncoder(MultilevelGNN):
         nodes = h.shape[-2]
         match = ctx.gene_pca_match
         idx = jnp.where(match >= 0, match, nodes + match)
-        xg = jnp.take(h, idx, axis=-2)
+        from multilevel_gnn_tpu.ops import spmm
+
+        if spmm.get_backend() == "pallas" and ctx.pca_gather_seg is not None:
+            # Pallas segment-sum cotangent (a plain jnp.take transposes to
+            # XLA scatter-add — tests/test_hlo_scatter_free_families.py)
+            xg = spmm.gather_rows(h, idx, ctx.pca_gather_seg)
+        else:
+            xg = jnp.take(h, idx, axis=-2)
         if cfg.pca_match_mask:
             xg = xg * (match > 0).astype(h.dtype)[:, None]
         pca_params = self.param(

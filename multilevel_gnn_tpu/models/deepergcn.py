@@ -24,7 +24,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multilevel_gnn_tpu.core.config import Config
-from multilevel_gnn_tpu.nn.basic import Linear, Norm, act, xavier_uniform
+from multilevel_gnn_tpu.nn.basic import (
+    EmbedTable,
+    Linear,
+    Norm,
+    act,
+    onehot_embed,
+    xavier_uniform,
+)
 from multilevel_gnn_tpu.nn.conv import GENConv
 
 
@@ -81,21 +88,27 @@ class DeeperGCN(nn.Module):
 
         if not cfg.pca_only:
             if cfg.node_embedding:
-                table = nn.Embed(
+                # full table + slice/broadcast instead of nn.Embed's row
+                # gather: take's transpose is an XLA scatter-add (banned —
+                # tests/test_hlo_scatter_free_families.py); param path
+                # (node_embedding_encoder/embedding) is unchanged
+                table = EmbedTable(
                     cfg.node_num,
                     cfg.node_embedding_dim,
                     embedding_init=xavier_uniform if cfg.init_emb else None
                     or jax.nn.initializers.normal(1.0),
                     name="node_embedding_encoder",
-                )
+                )()
                 n_genes = N - P
-                ids = jnp.concatenate(
+                emb = jnp.concatenate(
                     [
-                        jnp.arange(n_genes, dtype=jnp.int32),
-                        jnp.zeros((P,), jnp.int32),  # quirk: pathway rows -> id 0
+                        table[:n_genes],
+                        # quirk: pathway rows -> embedding row 0
+                        jnp.broadcast_to(
+                            table[:1], (P, cfg.node_embedding_dim)
+                        ),
                     ]
-                )
-                emb = table(ids)  # (N, D)
+                )  # (N, D)
                 feats = jnp.concatenate(
                     [x, jnp.broadcast_to(emb, (B, N, emb.shape[-1]))], axis=-1
                 )
@@ -108,12 +121,17 @@ class DeeperGCN(nn.Module):
             if cfg.use_edge_attr and graph.edge_attr is not None:
                 if cfg.global_edge == "onehot":
                     ids = graph.edge_attr[:, -1].astype(jnp.int32)
-                    edge_emb = nn.Embed(
+                    etable = EmbedTable(
                         max(cfg.pathway_edge_num, 1),
                         H,
                         embedding_init=xavier_uniform,
                         name="edge_encoder",
-                    )(jnp.clip(ids, 0, max(cfg.pathway_edge_num, 1) - 1))
+                    )()
+                    # one-hot MXU matmul lookup: scatter-free table gradient
+                    edge_emb = onehot_embed(
+                        jnp.clip(ids, 0, max(cfg.pathway_edge_num, 1) - 1),
+                        etable,
+                    )
                 else:
                     edge_emb = Linear(
                         H, kernel_init=xavier_uniform, name="edge_encoder"
@@ -129,7 +147,9 @@ class DeeperGCN(nn.Module):
                 H, kernel_init=xavier_uniform, name="pathway_features_encoder"
             )(batch.raw_data)  # (B, P, H)
             if not cfg.pca_only:
-                h = h.at[:, -P:, :].set(p_emb)
+                # slice+concat, not .at[].set: the latter lowers to an XLA
+                # scatter (banned op class) on both fwd and grad sides
+                h = jnp.concatenate([h[:, : N - P, :], p_emb], axis=1)
             else:
                 h = jax.nn.relu(p_emb)
 

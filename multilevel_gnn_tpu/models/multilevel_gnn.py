@@ -246,7 +246,9 @@ class MultilevelGNN(nn.Module):
         out = pathway_contract(xg, p, ctx.raw_indice, n_slots, method=method)
         image = slots_to_image(out, cfg.pathway_num)
         if cfg.reorder_pathway:
-            image = jnp.take(image, ctx.reorder_idxs, axis=2)
+            from multilevel_gnn_tpu.ops.spmm import permute_take
+
+            image = permute_take(image, ctx.reorder_idxs, 2)
         return image, pca_params
 
     def encode(self, batch: Batch, ctx: FoldContext, training: bool = False):

@@ -25,7 +25,12 @@ from multilevel_gnn_tpu.core.batch import Batch, FoldContext
 from multilevel_gnn_tpu.core.config import Config
 from multilevel_gnn_tpu.core.graph import Graph
 from multilevel_gnn_tpu.models.deepergcn import TransformerEncoderLayer
-from multilevel_gnn_tpu.nn.basic import Linear, Norm, xavier_uniform
+from multilevel_gnn_tpu.nn.basic import (
+    EmbedTable,
+    Linear,
+    Norm,
+    xavier_uniform,
+)
 from multilevel_gnn_tpu.nn.conv import GENConv, PathwayConv
 
 OMIX_NAMES = ("mrna", "cnv", "mt")
@@ -63,15 +68,19 @@ class DeeperGCNVnode(nn.Module):
         graph = ctx.base.graph
 
         if cfg.node_embedding:
-            table = nn.Embed(
+            # full table + slice/broadcast, not nn.Embed's row gather (its
+            # transpose is an XLA scatter-add — banned op class); the
+            # pathway rows share embedding row 0 (reference quirk)
+            table = EmbedTable(
                 cfg.node_num, cfg.node_embedding_dim,
                 embedding_init=xavier_uniform, name="node_embedding_encoder",
-            )
+            )()
             n_genes = N - P
-            ids = jnp.concatenate(
-                [jnp.arange(n_genes, dtype=jnp.int32), jnp.zeros(P, jnp.int32)]
+            D = cfg.node_embedding_dim
+            rows = jnp.concatenate(
+                [table[:n_genes], jnp.broadcast_to(table[:1], (P, D))]
             )
-            emb = jnp.broadcast_to(table(ids), (B, N, cfg.node_embedding_dim))
+            emb = jnp.broadcast_to(rows, (B, N, D))
             feats = jnp.concatenate([x, emb], axis=-1)
         else:
             feats = x
@@ -88,7 +97,8 @@ class DeeperGCNVnode(nn.Module):
             p_emb = Linear(
                 H, kernel_init=xavier_uniform, name="pathway_features_encoder"
             )(pathway_attr)
-            h = h.at[:, -P:, :].set(p_emb)
+            # slice+concat, not .at[].set (scatter-free — see deepergcn.py)
+            h = jnp.concatenate([h[:, : N - P, :], p_emb], axis=1)
 
         pgraph = ctx.pathway_graphs[self.omix]
         pmask = ctx.pathway_masks[self.omix]

@@ -128,7 +128,9 @@ class VAE(AutoEncoder):
                 B, Ch, cfg.pathway_num, -1
             )
         if cfg.reorder_pathway:
-            img = jnp.take(img, ctx.reorder_idxs, axis=2)
+            from multilevel_gnn_tpu.ops.spmm import permute_take
+
+            img = permute_take(img, ctx.reorder_idxs, 2)
         return self.predict_head(img, batch.age, pathway_adj, training), aux
 
     def predict_head(self, img, age, pathway_adj, training):
@@ -230,7 +232,9 @@ def _kernel_matrix(x1, x2, cfg):
     # imq (reference :415-433): sum excludes the diagonal
     C = 2.0 * d * cfg.z_var
     k = C / (1e-7 + C + jnp.sum((x1[:, None] - x2[None]) ** 2, -1))
-    return jnp.sum(k) - jnp.sum(jnp.diag(k))
+    # eye-mask, not jnp.diag: diagonal extraction transposes to an XLA
+    # scatter under grad (tests/test_hlo_scatter_free_families.py)
+    return jnp.sum(k * (1.0 - jnp.eye(k.shape[0], dtype=k.dtype)))
 
 
 def compute_mmd_per_slot(z, cfg, rng_key):

@@ -34,7 +34,12 @@ class VectorQuantizer(nn.Module):
             - 2.0 * flat @ codebook.T
         )
         idx = jnp.argmin(dist, axis=1)
-        quantized = jnp.take(codebook, idx, axis=0).reshape(latents.shape)
+        # one-hot MXU matmul lookup: the codebook gradient of the embedding
+        # loss becomes a transposed matmul instead of XLA's scatter-add
+        # transpose of take (banned op class; codebook is small)
+        from multilevel_gnn_tpu.nn.basic import onehot_embed
+
+        quantized = onehot_embed(idx, codebook).reshape(latents.shape)
         commitment = jnp.mean((jax.lax.stop_gradient(quantized) - latents) ** 2)
         embedding = jnp.mean((quantized - jax.lax.stop_gradient(latents)) ** 2)
         vq_loss = commitment * self.beta + embedding

@@ -137,6 +137,38 @@ class Linear(nn.Module):
         )(x)
 
 
+class EmbedTable(nn.Module):
+    """Raw embedding table, param-path compatible with flax nn.Embed
+    (<name>/embedding) so checkpoints interop.  Returns the FULL (V, D)
+    table instead of gathering rows: nn.Embed's jnp.take transposes to an
+    XLA scatter-add on the gradient side — the op class this repo bans from
+    compile paths (see tests/test_hlo_scatter_free*.py).  Callers slice /
+    one-hot-matmul rows out, both of which transpose scatter-free."""
+
+    num_embeddings: int
+    features: int
+    embedding_init: jax.nn.initializers.Initializer = xavier_uniform
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param(
+            "embedding",
+            self.embedding_init,
+            (self.num_embeddings, self.features),
+        )
+
+
+def onehot_embed(ids: jax.Array, table: jax.Array) -> jax.Array:
+    """Embedding lookup as a one-hot MXU matmul: rows = onehot(ids) @ table.
+    Scatter-free in both directions (the gradient to the table is the
+    transposed matmul, i.e. exactly the segment-sum of cotangents that
+    torch's CUDA embedding backward computes with atomics).  Intended for
+    SMALL vocabularies (pathway-edge ids, one-hot pathway nodes) where the
+    (E, V) one-hot is cheap."""
+    oh = jax.nn.one_hot(ids, table.shape[0], dtype=table.dtype)
+    return oh @ table
+
+
 class FeatureEmbeddingSum(nn.Module):
     """Sum of per-feature embedding lookups — the OGB-style Atom/Bond
     encoders (reference torch_nn.py:78-117).  feature_dims: cardinality of

@@ -316,6 +316,33 @@ def _gather_rows_bwd(res, d_out):
 gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def permute_take(x, perm, axis: int):
+    """``jnp.take(x, perm, axis)`` for a PERMUTATION index, with the
+    transpose expressed as the inverse-permutation take instead of XLA's
+    generic scatter-add (the banned slow-compile op class).  Used by the
+    pathway reorder (reference multilevel_gnn.py:241-242 / vae.py:308-332
+    embedding-similarity reorder, shipped on in kirc/lgg yamls).  perm must
+    be a true permutation of range(len) — duplicates would silently drop
+    cotangent mass."""
+    return jnp.take(x, perm, axis=axis)
+
+
+def _permute_take_fwd(x, perm, axis):
+    return jnp.take(x, perm, axis=axis), perm
+
+
+def _permute_take_bwd(axis, perm, g):
+    # argsort(perm) = inverse permutation; one small device sort per
+    # backward (P <= 146 rows) instead of a scatter
+    return jnp.take(g, jnp.argsort(perm), axis=axis), np.zeros(
+        perm.shape, jax.dtypes.float0
+    )
+
+
+permute_take.defvjp(_permute_take_fwd, _permute_take_bwd)
+
+
 def gather_src(x, graph):
     """x[..., senders, :] — scatter-free backward on the pallas backend
     (gather_rows over the sender-sorted segments); plain XLA gather (whose

@@ -39,14 +39,17 @@ def _recon_target(batch: Batch, cfg: Config):
     return batch.x if cfg.decoder_type == "flatten" else batch.raw_data
 
 
-def pretrain_autoencoder(
+def build_pretrain(
     cfg: Config,
     cohort: Cohort,
     kind: str = "autoencoder",
-    epochs: int | None = None,
     fold_i: int = 0,
 ):
-    """Train an AE/VAE/VQ-VAE on the cohort; returns (params, model, ctx)."""
+    """Build the AE/VAE/VQ-VAE pretraining state + jitted step.
+
+    Split out of pretrain_autoencoder so tests can lower the jitted step
+    (HLO scatter-free proofs) without running the epoch loop.  Returns a
+    dict with model/ctx/fold/params/opt_state/step/loss pieces."""
     assert kind in ("autoencoder", "vae", "mmd_vae", "vq_vae")
     train_idx = np.arange(len(cohort.patients))
     fold = cohort.fold(train_idx, fold_i)
@@ -62,7 +65,6 @@ def pretrain_autoencoder(
         "vq_vae": VQVAE,
     }[kind](cfg)
     ctx = fold.ctx
-    epochs = epochs or cfg.epochs
 
     X, Y, ages = cohort.X, cohort.Y, cohort.ages
     raw = cohort.raw_datas[
@@ -138,13 +140,36 @@ def pretrain_autoencoder(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    return dict(
+        cfg=cfg, model=model, ctx=ctx, fold=fold, params=params,
+        opt_state=opt_state, step=step, rng0=rng0, X=X, Y=Y, ages=ages,
+        raw=raw, train_idx=train_idx, b0=b0,
+    )
+
+
+def pretrain_autoencoder(
+    cfg: Config,
+    cohort: Cohort,
+    kind: str = "autoencoder",
+    epochs: int | None = None,
+    fold_i: int = 0,
+):
+    """Train an AE/VAE/VQ-VAE on the cohort; returns (params, model, ctx)."""
+    s = build_pretrain(cfg, cohort, kind, fold_i)
+    cfg = s["cfg"]
+    model, ctx, fold = s["model"], s["ctx"], s["fold"]
+    params, opt_state, step = s["params"], s["opt_state"], s["step"]
+    rng0, X, Y, ages, raw = s["rng0"], s["X"], s["Y"], s["ages"], s["raw"]
+    train_idx = s["train_idx"]
+    epochs = epochs or cfg.epochs
+
     np_rng = np.random.RandomState(cfg.seed)
     step_i = 0
     for epoch in range(1, epochs + 1):
         losses = []
         order = np_rng.permutation(len(train_idx))
-        for s in range(0, len(order) - cfg.batch_size + 1, cfg.batch_size):
-            idxs = train_idx[order[s : s + cfg.batch_size]]
+        for off in range(0, len(order) - cfg.batch_size + 1, cfg.batch_size):
+            idxs = train_idx[order[off : off + cfg.batch_size]]
             b = Batch(
                 x=jnp.asarray(X[idxs]),
                 y=jnp.asarray(Y[idxs]),
