@@ -17,11 +17,19 @@ def initialize_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    cpu_collectives: Optional[str] = None,
 ) -> dict:
     """Initialize the JAX process group (no-op on single-host).
 
     With no args, relies on the cluster environment auto-detection
-    (TPU pods set the coordinator automatically)."""
+    (TPU pods set the coordinator automatically).  cpu_collectives
+    ('gloo' / 'mpi') selects the CPU cross-process collective backend —
+    required for the multi-process CPU loopback tests (SURVEY §4.5); TPU
+    pods ignore it (collectives ride ICI/DCN natively)."""
+    if cpu_collectives:
+        jax.config.update(
+            "jax_cpu_collectives_implementation", cpu_collectives
+        )
     if num_processes is not None and num_processes > 1 or coordinator_address:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
