@@ -1,0 +1,207 @@
+"""Full-model forward parity vs the ACTUAL reference MultilevelGNN class.
+
+test_multilevel_gnn.py checks the flagship against a hand-written torch
+oracle; this file closes the loop on VERDICT r1 item #6 / BASELINE's
+"per-layer activations vs reference PyTorch/PyG" by instantiating
+/root/reference/models/multilevel_gnn.py:MultilevelGNN itself (via the
+pure-torch PyG shim), injecting the flax parameters, and asserting the
+full forward (multilevel_gnn.py:132-291) and get_feature_loss (:329-348)
+allclose at the reference's HARD-CODED production dimensions
+(node_num*3 = 15405 nodes, 25015 learnable-PCA rows, 146 pathways —
+multilevel_gnn.py:34,74 — these cannot be shrunk without editing the
+reference, so the fixture runs at full GBM scale with a reduced edge
+count and batch).
+"""
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import pyg_shim
+
+pyg_shim.install()
+
+from models.multilevel_gnn import MultilevelGNN as RefMultilevelGNN  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from multilevel_gnn_tpu.core.batch import Batch, make_fold_context  # noqa: E402
+from multilevel_gnn_tpu.core.config import Config  # noqa: E402
+from multilevel_gnn_tpu.core.graph import Graph  # noqa: E402
+from multilevel_gnn_tpu.models.multilevel_gnn import (  # noqa: E402
+    MultilevelGNN,
+    get_feature_loss,
+)
+
+B = 2
+NODES = 15405  # reference node_num=5135 (hardcoded :34) x 3 omics
+G_ROWS = 25015  # reference learnable_pca_params rows (hardcoded :74)
+N_PATH = 146
+E_RAND = 6000
+
+
+def t(a):
+    return torch.tensor(np.asarray(a))
+
+
+def gbm_like_cfg():
+    """The GBM protocol's model settings (configs/gbm.yaml), f32 + XLA
+    backend for bit-comparable CPU parity (the pallas/bf16 paths have their
+    own equivalence tests)."""
+    return Config(
+        cancer_type="gbm",
+        model="multilevel_gnn",
+        gnn_name="sage",
+        num_layers=2,
+        hidden_channels=64,
+        final_channels=32,
+        final_head=4,
+        node_embedding=True,
+        node_embedding_dim=64,
+        value_att_mask=True,
+        weighted_edge=True,
+        mutual_info_mask=True,
+        pca_match_mask=True,
+        pca_dim=2,
+        pca_loss=True,
+        pca_indep_loss=True,
+        feature_drop=True,
+        head_dim=256,
+        use_age=True,
+        pathway_num=N_PATH,
+        batch_size=B,
+    )
+
+
+# every attribute the reference __init__/forward reads off `args`
+_REF_ARG_FIELDS = (
+    "pca_compare pca_prelinear learnable_pca pca_loss pca_indep_loss pca_dim "
+    "pathway_pool_dim pca_pool_dim mutual_info_mask mutual_info_threshold "
+    "pca_loss_coef node_select_threshold mutual_neighbors head_dim used_omics "
+    "input_drop input_emb_drop node_embedding node_embedding_dim "
+    "embedding_init_type freeze_node_embedding emb_val hidden_channels "
+    "num_layers final_channels final_head gnn_act gnn_name gnn_mlp_norm "
+    "gnn_last_norm gnn_dropout pca_init_type freeze_pca_weight edge_type "
+    "dense_gnn conv_channel_list conv_kernel_list feature_drop use_age "
+    "device_num weighted_edge resgnn repeat_mask repeat_cyclic repeat_norm "
+    "value_att_mask merge_mode add_coef1 add_coef2 pca_match_mask "
+    "reduction_method reorder_pathway pathway_num random_state "
+    "freeze_mutual_select_init remain_all_tf pca_lowrank_niter"
+).split()
+
+
+def ref_args(cfg):
+    ns = types.SimpleNamespace()
+    for f in _REF_ARG_FIELDS:
+        setattr(ns, f, getattr(cfg, f))
+    return ns
+
+
+def set_lin(lin, kernel, bias=None):
+    with torch.no_grad():
+        lin.weight.copy_(t(kernel).T)
+        if bias is not None:
+            lin.bias.copy_(t(bias))
+
+
+def inject_params(ref, pp, cfg):
+    """Copy the flax param tree into the reference torch module."""
+    with torch.no_grad():
+        ref.node_embedding.data.copy_(t(pp["node_embedding"]))
+        ref.learnable_pca_params.data.copy_(t(pp["learnable_pca_params"]))
+        for i in range(cfg.num_layers):
+            g = pp[f"gnn_{i}"]["gconv"]
+            set_lin(ref.gnn_model[i].gconv.lin_r, g["lin_r"]["kernel"])
+            set_lin(
+                ref.gnn_model[i].gconv.nn[0],
+                g["nn"]["Linear_0"]["Dense_0"]["kernel"],
+                g["nn"]["Linear_0"]["Dense_0"]["bias"],
+            )
+        conv_idx = 0
+        for m in ref.conv_model:
+            if isinstance(m, torch.nn.Conv2d):
+                k = t(pp["conv_head"][f"Conv_{conv_idx}"]["kernel"])
+                m.weight.copy_(k.permute(3, 2, 0, 1))  # HWIO -> OIHW
+                m.bias.copy_(t(pp["conv_head"][f"Conv_{conv_idx}"]["bias"]))
+                conv_idx += 1
+        set_lin(
+            ref.head[0],
+            pp["conv_head"]["head_0"]["Dense_0"]["kernel"],
+            pp["conv_head"]["head_0"]["Dense_0"]["bias"],
+        )
+        set_lin(
+            ref.head[3],
+            pp["conv_head"]["head_1"]["Dense_0"]["kernel"],
+            pp["conv_head"]["head_1"]["Dense_0"]["bias"],
+        )
+
+
+@pytest.mark.slow
+def test_full_model_vs_reference(rng):
+    cfg = gbm_like_cfg()
+
+    edges = rng.randint(0, NODES, size=(2, E_RAND)).astype(np.int32)
+    attr = rng.rand(E_RAND, 1).astype(np.float32)
+    graph = Graph.from_edges(edges, attr, NODES).with_self_loops()
+    gene_pca_match = rng.randint(-1, NODES, size=G_ROWS).astype(np.int32)
+    raw_indice = rng.randint(0, 3 * N_PATH, size=G_ROWS).astype(np.int32)
+    info_mask = (rng.rand(G_ROWS, 1) > 0.4).astype(np.float32)
+    ctx = make_fold_context(
+        graph, gene_pca_match, raw_indice, info_mask, n_pathways=N_PATH
+    )
+    x = rng.randn(B, NODES).astype(np.float32)
+    age = (rng.rand(B) * 80).astype(np.float32)
+    batch = Batch(
+        x=jnp.asarray(x),
+        y=jnp.zeros((B, 2), jnp.float32),
+        age=jnp.asarray(age),
+        sample_mask=jnp.ones(B, bool),
+    )
+
+    model = MultilevelGNN(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch, ctx, False)
+    pred, feat = jax.jit(
+        lambda p, b: model.apply(p, b, ctx, False)
+    )(params, batch)
+
+    # --- the actual reference model, same params
+    ref = RefMultilevelGNN(ref_args(cfg))
+    ref.eval()
+    inject_params(ref, params["params"], cfg)
+    ref.set_info_mask(t(info_mask))
+    ref.set_pathway_indexs(t(raw_indice.astype(np.int64)))
+
+    # PyG-style batched graph: B copies with node offsets (the reference
+    # consumes the block-diagonal Batch the PyG DataLoader would build)
+    eb = np.concatenate(
+        [edges.astype(np.int64) + b * NODES for b in range(B)], axis=1
+    )
+    ab = np.tile(attr, (B, 1))
+    input_batch = types.SimpleNamespace(
+        x=t(x.reshape(-1)),
+        edge_index=t(eb),
+        edge_attr=t(ab),
+        gene_pca_match=t(np.tile(gene_pca_match.astype(np.int64), (B, 1))),
+        raw_indice=t(np.tile(raw_indice.astype(np.int64), (B, 1))),
+        age=t(age),
+    )
+    with torch.no_grad():
+        want_pred, want_feat = ref(input_batch)
+
+    np.testing.assert_allclose(
+        np.asarray(feat), want_feat.detach().numpy(), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred), want_pred.detach().numpy(), rtol=2e-4, atol=2e-5
+    )
+
+    # --- auxiliary losses (reference get_feature_loss :329-348)
+    ours = get_feature_loss(
+        params["params"]["learnable_pca_params"], ctx, feat, cfg
+    )
+    want = ref.get_feature_loss(want_feat.detach())
+    np.testing.assert_allclose(
+        float(ours), float(want), rtol=2e-4, atol=1e-6
+    )
