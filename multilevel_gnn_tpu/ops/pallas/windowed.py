@@ -56,6 +56,9 @@ NF_VARIANTS = (1, 2, 4, 8, 16)
 # sub-window width: each src-sorted edge chunk addresses < SUBWIN rows of
 # the tile window, so the per-chunk one-hot is (SUBWIN, te) not (NW, te)
 SUBWIN = 512
+# feature-tile width override for windowed_exec (tools/sweep_windowed.py);
+# None = dtype heuristic (tuned on v5e at GBM scale)
+TC_PREF_OVERRIDE = None
 
 
 @jax.tree_util.register_dataclass
@@ -564,7 +567,7 @@ def windowed_exec(
     C = x2.shape[1]
     dsize = 2 if x2.dtype == jnp.bfloat16 else 4
     f32_exact = dsize == 4
-    tc_pref = 512 if dsize == 2 else 256
+    tc_pref = TC_PREF_OVERRIDE or (512 if dsize == 2 else 256)
     tc_pref = min(tc_pref, _round_up(C, 128))
     # nf must be one of the precomputed step-array variants; pick the
     # smallest variant covering C at <= the preferred feature-tile width

@@ -70,6 +70,7 @@ def gbm_like_cfg():
         feature_drop=True,
         head_dim=256,
         use_age=True,
+        weight_balance=True,
         pathway_num=N_PATH,
         batch_size=B,
     )
@@ -138,10 +139,7 @@ def inject_params(ref, pp, cfg):
         )
 
 
-@pytest.mark.slow
-def test_full_model_vs_reference(rng):
-    cfg = gbm_like_cfg()
-
+def build_fixture(rng, cfg):
     edges = rng.randint(0, NODES, size=(2, E_RAND)).astype(np.int32)
     attr = rng.rand(E_RAND, 1).astype(np.float32)
     graph = Graph.from_edges(edges, attr, NODES).with_self_loops()
@@ -153,18 +151,17 @@ def test_full_model_vs_reference(rng):
     )
     x = rng.randn(B, NODES).astype(np.float32)
     age = (rng.rand(B) * 80).astype(np.float32)
+    y = np.zeros((B, 2), np.float32)
+    y[np.arange(B), rng.randint(0, 2, B)] = 1
     batch = Batch(
         x=jnp.asarray(x),
-        y=jnp.zeros((B, 2), jnp.float32),
+        y=jnp.asarray(y),
         age=jnp.asarray(age),
         sample_mask=jnp.ones(B, bool),
     )
 
     model = MultilevelGNN(cfg)
     params = model.init(jax.random.PRNGKey(0), batch, ctx, False)
-    pred, feat = jax.jit(
-        lambda p, b: model.apply(p, b, ctx, False)
-    )(params, batch)
 
     # --- the actual reference model, same params
     ref = RefMultilevelGNN(ref_args(cfg))
@@ -187,6 +184,17 @@ def test_full_model_vs_reference(rng):
         raw_indice=t(np.tile(raw_indice.astype(np.int64), (B, 1))),
         age=t(age),
     )
+    return model, params, ctx, batch, ref, input_batch
+
+
+@pytest.mark.slow
+def test_full_model_vs_reference(rng):
+    cfg = gbm_like_cfg()
+    model, params, ctx, batch, ref, input_batch = build_fixture(rng, cfg)
+    pred, feat = jax.jit(
+        lambda p, b: model.apply(p, b, ctx, False)
+    )(params, batch)
+
     with torch.no_grad():
         want_pred, want_feat = ref(input_batch)
 
@@ -205,3 +213,80 @@ def test_full_model_vs_reference(rng):
     np.testing.assert_allclose(
         float(ours), float(want), rtol=2e-4, atol=1e-6
     )
+
+
+@pytest.mark.slow
+def test_full_train_loss_and_grads_vs_reference(rng):
+    """End-to-end TRAINING gradient parity vs the actual reference: the
+    weighted BCE + feature loss of reference train.py:48-62 (weight_balance
+    -> BCELoss(weight=w), train.py:118-121) back-propagated through the
+    whole reference model, compared leaf-by-leaf against jax.grad of our
+    loss.  Dropout off (eval-mode graph) so both sides are deterministic."""
+    cfg = gbm_like_cfg()
+    model, params, ctx, batch, ref, input_batch = build_fixture(rng, cfg)
+    class_weight = np.asarray([1.0, 3.5], np.float32)
+
+    from multilevel_gnn_tpu.train.step import classification_loss
+
+    def loss_fn(p):
+        pred, feat = model.apply(p, batch, ctx, False)
+        loss = classification_loss(
+            pred, batch.y, jnp.asarray(class_weight), batch.sample_mask, cfg
+        )
+        return loss + get_feature_loss(
+            p["params"]["learnable_pca_params"], ctx, feat, cfg
+        )
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+    gp = grads["params"]
+
+    # reference loss: criterion = BCELoss(weight=class_weight) (train.py:118)
+    criterion = torch.nn.BCELoss(weight=t(class_weight))
+    pred, feat = ref(input_batch)
+    ref_loss = criterion(pred.to(torch.float32), t(np.asarray(batch.y)))
+    ref_loss = ref_loss + ref.get_feature_loss(feat)
+    ref.zero_grad()
+    ref_loss.backward()
+
+    np.testing.assert_allclose(
+        float(loss), float(ref_loss.detach()), rtol=2e-4, atol=1e-6
+    )
+
+    def g(torch_param):
+        return torch_param.grad.detach().numpy()
+
+    checks = [
+        (gp["node_embedding"], g(ref.node_embedding)),
+        (gp["learnable_pca_params"], g(ref.learnable_pca_params)),
+    ]
+    for i in range(cfg.num_layers):
+        fg = gp[f"gnn_{i}"]["gconv"]
+        tg_ = ref.gnn_model[i].gconv
+        checks.append((fg["lin_r"]["kernel"], g(tg_.lin_r.weight).T))
+        checks.append(
+            (fg["nn"]["Linear_0"]["Dense_0"]["kernel"], g(tg_.nn[0].weight).T)
+        )
+        checks.append(
+            (fg["nn"]["Linear_0"]["Dense_0"]["bias"], g(tg_.nn[0].bias))
+        )
+    conv_idx = 0
+    for m in ref.conv_model:
+        if isinstance(m, torch.nn.Conv2d):
+            fk = gp["conv_head"][f"Conv_{conv_idx}"]
+            checks.append(
+                (fk["kernel"], np.transpose(g(m.weight), (2, 3, 1, 0)))
+            )
+            checks.append((fk["bias"], g(m.bias)))
+            conv_idx += 1
+    checks.append(
+        (gp["conv_head"]["head_0"]["Dense_0"]["kernel"], g(ref.head[0].weight).T)
+    )
+    checks.append(
+        (gp["conv_head"]["head_1"]["Dense_0"]["kernel"], g(ref.head[3].weight).T)
+    )
+
+    for ours_g, want_g in checks:
+        scale = max(np.abs(want_g).max(), 1e-8)
+        np.testing.assert_allclose(
+            np.asarray(ours_g), want_g, rtol=2e-3, atol=2e-5 * scale
+        )
