@@ -163,11 +163,16 @@ class DeeperGCN(nn.Module):
             h = h.astype(cdt)
             if edge_emb is not None:
                 edge_emb = edge_emb.astype(cdt)
+        # conv_encode_edge mirrors the reference exactly (deepergcn.py:76):
+        # when true each GENConv re-encodes the already-H-dim edge_emb
+        # through its own Linear(H, H) edge encoder (double encoding is the
+        # reference's behavior, preserved)
         gcns = [
             GENConv(
                 H, H, aggr=cfg.gcn_aggr, t=cfg.t, learn_t=cfg.learn_t,
                 p=cfg.p, learn_p=cfg.learn_p, msg_norm=cfg.msg_norm,
-                learn_msg_scale=cfg.learn_msg_scale, encode_edge=False,
+                learn_msg_scale=cfg.learn_msg_scale,
+                encode_edge=cfg.conv_encode_edge, edge_feat_dim=H,
                 norm_type=cfg.norm, mlp_layers=cfg.mlp_layers,
                 dtype=cdt,
                 name=f"gcn_{i}",

@@ -106,7 +106,10 @@ class DeeperGCNVnode(nn.Module):
         gcns = [
             GENConv(H, H, aggr=cfg.gcn_aggr, t=cfg.t, learn_t=cfg.learn_t,
                     p=cfg.p, learn_p=cfg.learn_p, msg_norm=cfg.msg_norm,
-                    learn_msg_scale=cfg.learn_msg_scale, encode_edge=False,
+                    learn_msg_scale=cfg.learn_msg_scale,
+                    # per-conv re-encoding of the H-dim edge_emb, exactly as
+                    # the reference (deepergcn_virtual_node.py:105)
+                    encode_edge=cfg.conv_encode_edge, edge_feat_dim=H,
                     norm_type=cfg.norm, mlp_layers=cfg.mlp_layers,
                     name=f"gcn_{i}")
             for i in range(cfg.num_layers)

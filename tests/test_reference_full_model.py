@@ -89,7 +89,8 @@ _REF_ARG_FIELDS = (
     "device_num weighted_edge resgnn repeat_mask repeat_cyclic repeat_norm "
     "value_att_mask merge_mode add_coef1 add_coef2 pca_match_mask "
     "reduction_method reorder_pathway pathway_num random_state "
-    "freeze_mutual_select_init remain_all_tf pca_lowrank_niter"
+    "freeze_mutual_select_init remain_all_tf pca_lowrank_niter "
+    "pathcnn_kernel_size more_conv"
 ).split()
 
 
@@ -290,3 +291,249 @@ def test_full_train_loss_and_grads_vs_reference(rng):
         np.testing.assert_allclose(
             np.asarray(ours_g), want_g, rtol=2e-3, atol=2e-5 * scale
         )
+
+
+def test_pathcnn_vs_reference(rng):
+    """PathCNN (reference models/pathcnn.py:13-134) forward parity at the
+    reference's hard-coded dims (24542 learnable-PCA rows, 146 pathways)."""
+    from models.pathcnn import PathCNN as RefPathCNN
+
+    from multilevel_gnn_tpu.models.pathcnn import PathCNN
+
+    G_PC = 24542  # reference pathcnn.py:36 hardcoded row count
+    cfg = Config(
+        model="pathcnn",
+        learnable_pca=True,
+        mutual_info_mask=True,
+        pca_dim=2,
+        pathcnn_kernel_size=3,
+        head_dim=128,
+        use_age=True,
+        pathway_num=N_PATH,
+        batch_size=B,
+    )
+    raw_data = rng.randn(B, G_PC).astype(np.float32)
+    raw_indice = rng.randint(0, 3 * N_PATH, size=G_PC).astype(np.int32)
+    info_mask = (rng.rand(G_PC, 1) > 0.4).astype(np.float32)
+    age = (rng.rand(B) * 80).astype(np.float32)
+    dummy = Graph.from_edges(
+        np.zeros((2, 1), np.int32), np.ones((1, 1), np.float32), 4
+    )
+    ctx = make_fold_context(
+        dummy,
+        np.zeros(G_PC, np.int32),
+        raw_indice,
+        info_mask,
+        n_pathways=N_PATH,
+    )
+    batch = Batch(
+        x=jnp.zeros((B, 4), jnp.float32),
+        y=jnp.zeros((B, 2), jnp.float32),
+        age=jnp.asarray(age),
+        sample_mask=jnp.ones(B, bool),
+        raw_data=jnp.asarray(raw_data),
+    )
+    model = PathCNN(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch, ctx, False)
+    pred, feat = model.apply(params, batch, ctx, False)
+
+    ref = RefPathCNN(ref_args(cfg))
+    ref.eval()
+    pp = params["params"]
+    with torch.no_grad():
+        ref.learnable_pca_params.data.copy_(t(pp["learnable_pca_params"]))
+        for name, m in (("conv1", ref.conv1), ("conv2", ref.conv2)):
+            m.weight.copy_(t(pp[name]["kernel"]).permute(3, 2, 0, 1))
+            m.bias.copy_(t(pp[name]["bias"]))
+    set_lin(
+        ref.head[0],
+        pp["head_0"]["Dense_0"]["kernel"],
+        pp["head_0"]["Dense_0"]["bias"],
+    )
+    set_lin(
+        ref.head[3],
+        pp["head_1"]["Dense_0"]["kernel"],
+        pp["head_1"]["Dense_0"]["bias"],
+    )
+    ref.set_info_mask(t(info_mask))
+
+    input_batch = types.SimpleNamespace(
+        raw_data=t(raw_data),
+        raw_indice=t(np.tile(raw_indice.astype(np.int64), (B, 1))),
+        age=t(age),
+    )
+    with torch.no_grad():
+        want_pred, want_feat = ref(input_batch)
+    np.testing.assert_allclose(
+        np.asarray(feat), want_feat.detach().numpy(), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred), want_pred.detach().numpy(), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_deepergcn_vs_reference(rng):
+    """DeeperGCN (reference models/deepergcn.py:17-323) forward parity:
+    linear encoders + node-embedding lookup (incl. the pathway-rows->
+    embedding-row-0 quirk), one-hot pathway-edge Embedding, per-conv
+    edge re-encoding (conv_encode_edge), vnode feature injection, res+
+    GENConv stack with inter layer-norms, maxpool-4 readout with
+    pre-concat age, and the softmax head."""
+    from models.deepergcn import DeeperGCN as RefDeeperGCN
+
+    from multilevel_gnn_tpu.data.synthetic import make_synthetic_cohort
+    from multilevel_gnn_tpu.models.deepergcn import DeeperGCN
+    from test_data_pipeline import gbm_like_cfg as pipeline_cfg
+
+    cfg = pipeline_cfg(
+        model="deepergcn",
+        conv="gen",
+        gcn_aggr="softmax",
+        block="res+",
+        num_layers=3,
+        hidden_channels=16,
+        mlp_layers=2,
+        norm="layer",
+        node_embedding=True,
+        node_embedding_dim=4,
+        use_edge_attr=True,
+        conv_encode_edge=True,
+        global_edge="onehot",
+        pathway_readout="maxpool",
+        graph_pooling="mean",
+        num_layer_head=2,
+        pre_concat_age=True,
+        pre_readout_drop=True,
+        use_age=True,
+        dropout=0.25,
+        learn_t=True,
+    )
+    cohort = make_synthetic_cohort(cfg, seed=3, n_patients=24, n_pathways=8)
+    cfg = cfg.replace(
+        pathway_num=cohort.n_pathways,
+        node_num=cohort.node_size + cohort.n_pathways,
+    )
+    fold = cohort.deepergcn_fold(np.arange(16), 0)
+    cfg = cfg.replace(pathway_edge_num=max(cohort.pathway_edge_num, 1))
+    Xg = cohort.gene_level_features()
+    Bn = 3
+    batch = Batch(
+        x=jnp.asarray(Xg[:Bn]),
+        y=jnp.asarray(cohort.Y[:Bn]),
+        age=jnp.asarray(cohort.ages[:Bn]),
+        sample_mask=jnp.ones(Bn, bool),
+        raw_data=jnp.asarray(fold.pathway_node_attr[:Bn].astype(np.float32)),
+    )
+    model = DeeperGCN(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch, fold.ctx, False)
+    pred, _ = model.apply(params, batch, fold.ctx, False)
+
+    # --- reference model
+    args = ref_args(cfg)
+    for f in (
+        "num_tasks", "block", "conv", "gcn_aggr", "t", "learn_t", "p", "conv_encode_edge",
+        "learn_p", "msg_norm", "learn_msg_scale", "norm", "mlp_layers",
+        "graph_pooling", "pca_only", "gnn_encoder", "node_num",
+        "use_column", "global_edge", "pathway_edge_num", "use_edge_attr",
+        "pathway_global_node", "num_layer_head", "pathway_readout",
+        "head_dropout", "init_emb", "mul_attr", "dropout",
+        "pre_readout_drop", "pre_concat_age",
+    ):
+        setattr(args, f, getattr(cfg, f))
+    # flags our Config accepts-but-ignores (reference opt.py:188-191
+    # defaults); our DeeperGCN implements the default behavior
+    args.no_inter_drop = False
+    args.no_inter_norm = False
+    args.head_init = False
+    args.all_init = True
+    ref = RefDeeperGCN(args)
+    ref.eval()
+
+    pp = params["params"]
+    with torch.no_grad():
+        ref.node_embedding_encoder.weight.copy_(
+            t(pp["node_embedding_encoder"]["embedding"])
+        )
+        ref.edge_encoder.weight.copy_(t(pp["edge_encoder"]["embedding"]))
+    set_lin(
+        ref.node_features_encoder,
+        pp["node_features_encoder"]["Dense_0"]["kernel"],
+        pp["node_features_encoder"]["Dense_0"]["bias"],
+    )
+    set_lin(
+        ref.pathway_features_encoder,
+        pp["pathway_features_encoder"]["Dense_0"]["kernel"],
+        pp["pathway_features_encoder"]["Dense_0"]["bias"],
+    )
+    for i in range(cfg.num_layers):
+        fg = pp[f"gcn_{i}"]
+        set_lin(
+            ref.gcns[i].edge_encoder,
+            fg["edge_encoder"]["Dense_0"]["kernel"],
+            fg["edge_encoder"]["Dense_0"]["bias"],
+        )
+        lins = [
+            m for m in ref.gcns[i].feature_encoder if isinstance(m, torch.nn.Linear)
+        ]
+        for j, lin in enumerate(lins):
+            set_lin(
+                lin,
+                fg["feature_encoder"][f"Linear_{j}"]["Dense_0"]["kernel"],
+                fg["feature_encoder"][f"Linear_{j}"]["Dense_0"]["bias"],
+            )
+    set_lin(
+        ref.readout_func[0],
+        pp["readout"]["Dense_0"]["kernel"],
+        pp["readout"]["Dense_0"]["bias"],
+    )
+    head_mods = [
+        m for m in ref.graph_pred_linear if isinstance(m, torch.nn.Linear)
+    ]
+    set_lin(
+        head_mods[0],
+        pp["head_0"]["Dense_0"]["kernel"],
+        pp["head_0"]["Dense_0"]["bias"],
+    )
+    set_lin(
+        head_mods[-1],
+        pp["head_out"]["Dense_0"]["kernel"],
+        pp["head_out"]["Dense_0"]["bias"],
+    )
+
+    # --- PyG-batched reference inputs
+    g = fold.ctx.graph
+    emask = np.asarray(g.edge_mask)
+    snd = np.asarray(g.senders)[emask].astype(np.int64)
+    rcv = np.asarray(g.receivers)[emask].astype(np.int64)
+    eids = np.asarray(g.edge_attr)[emask][:, -1].astype(np.int64)
+    N = Xg.shape[1]
+    P = cfg.pathway_num
+    n_genes = N - P
+    ids_col = np.concatenate(
+        [np.arange(n_genes), np.zeros(P)]
+    ).astype(np.float32)
+    x_rows = np.concatenate(
+        [
+            np.concatenate([Xg[b], ids_col[:, None]], axis=-1)
+            for b in range(Bn)
+        ]
+    )
+    eb = np.concatenate(
+        [np.stack([snd, rcv]) + b * N for b in range(Bn)], axis=1
+    )
+    input_batch = types.SimpleNamespace(
+        x=t(x_rows),
+        edge_index=t(eb),
+        edge_attr=t(np.tile(eids, Bn)),
+        batch=t(np.repeat(np.arange(Bn), N)),
+        age=t(np.asarray(cohort.ages[:Bn], np.float32)),
+        pathway_node_attr=t(
+            fold.pathway_node_attr[:Bn].astype(np.float32).reshape(-1, 6)
+        ),
+        node_size=t(np.full(Bn, N, np.int64)),
+    )
+    with torch.no_grad():
+        want = ref(input_batch)
+    np.testing.assert_allclose(
+        np.asarray(pred), want.detach().numpy(), rtol=5e-4, atol=5e-5
+    )
