@@ -97,7 +97,17 @@ class VAE(AutoEncoder):
             n_out = int(cfg.slot_sizes[s])
             if n_out == 0:
                 continue
-            hidden = cfg.decoder_dim
+            # foreach_diffhidden sizes each slot's hidden dim from its gene
+            # count (reference vae.py:63-74), same as the AE decoder
+            if cfg.decoder_type == "foreach_diffhidden":
+                from multilevel_gnn_tpu.models.autoencoder import next_pow2
+                import math as _math
+
+                hidden = next_pow2(
+                    int(_math.sqrt(n_out * cfg.final_channels))
+                )
+            else:
+                hidden = cfg.decoder_dim
             y = Linear(hidden, kernel_init=xavier_uniform,
                        name=f"dec_slot{s}_0")(z[:, s, :])
             y = jax.nn.relu(y)

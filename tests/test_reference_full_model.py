@@ -537,3 +537,292 @@ def test_deepergcn_vs_reference(rng):
     np.testing.assert_allclose(
         np.asarray(pred), want.detach().numpy(), rtol=5e-4, atol=5e-5
     )
+
+
+@pytest.mark.slow
+def test_autoencoder_vs_reference(rng):
+    """AutoEncoder (reference models/autoencoder.py:23-145, flatten decoder)
+    forward parity at the reference's hardcoded dims: encoder without the
+    value-attention merge (commented out in the reference, :96-102), the
+    '>0' gather-mask quirk (:107), learnable-PCA contraction, and the
+    4096-style flatten MLP decoder."""
+    from models.autoencoder import AutoEncoder as RefAutoEncoder
+
+    from multilevel_gnn_tpu.models.autoencoder import AutoEncoder
+
+    cfg = gbm_like_cfg().replace(
+        model="autoencoder",
+        decoder_type="flatten",
+        decoder_dim=256,
+        node_num=5135,
+    )
+    E_AE = 4000
+    edges = rng.randint(0, NODES, size=(2, E_AE)).astype(np.int32)
+    attr = rng.rand(E_AE, 1).astype(np.float32)
+    graph = Graph.from_edges(edges, attr, NODES).with_self_loops()
+    gene_pca_match = rng.randint(-1, NODES, size=G_ROWS).astype(np.int32)
+    raw_indice = rng.randint(0, 3 * N_PATH, size=G_ROWS).astype(np.int32)
+    info_mask = (rng.rand(G_ROWS, 1) > 0.4).astype(np.float32)
+    ctx = make_fold_context(
+        graph, gene_pca_match, raw_indice, info_mask, n_pathways=N_PATH
+    )
+    x = rng.randn(B, NODES).astype(np.float32)
+    batch = Batch(
+        x=jnp.asarray(x),
+        y=jnp.zeros((B, 2), jnp.float32),
+        age=jnp.zeros(B, jnp.float32),
+        sample_mask=jnp.ones(B, bool),
+    )
+    model = AutoEncoder(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch, ctx, False)
+    recon, latent = jax.jit(
+        lambda p, b: model.apply(p, b, ctx, False)
+    )(params, batch)
+
+    args = ref_args(cfg)
+    args.decoder_dim = cfg.decoder_dim
+    args.decoder_type = cfg.decoder_type
+    ref = RefAutoEncoder(args)
+    ref.eval()
+    pp = params["params"]
+    with torch.no_grad():
+        ref.node_embedding.data.copy_(t(pp["node_embedding"]))
+        ref.learnable_pca_params.data.copy_(t(pp["learnable_pca_params"]))
+    for i in range(cfg.num_layers):
+        g = pp[f"gnn_{i}"]["gconv"]
+        set_lin(ref.gnn_model[i].gconv.lin_r, g["lin_r"]["kernel"])
+        set_lin(
+            ref.gnn_model[i].gconv.nn[0],
+            g["nn"]["Linear_0"]["Dense_0"]["kernel"],
+            g["nn"]["Linear_0"]["Dense_0"]["bias"],
+        )
+    for di, name in ((0, "dec_0"), (2, "dec_1"), (4, "dec_2")):
+        set_lin(
+            ref.decoder[di],
+            pp[name]["Dense_0"]["kernel"],
+            pp[name]["Dense_0"]["bias"],
+        )
+    ref.set_info_mask(t(info_mask))
+
+    eb = np.concatenate(
+        [edges.astype(np.int64) + b * NODES for b in range(B)], axis=1
+    )
+    input_batch = types.SimpleNamespace(
+        x=t(x.reshape(-1)),
+        edge_index=t(eb),
+        edge_attr=t(np.tile(attr, (B, 1))),
+        gene_pca_match=t(np.tile(gene_pca_match.astype(np.int64), (B, 1))),
+        raw_indice=t(np.tile(raw_indice.astype(np.int64), (B, 1))),
+    )
+    with torch.no_grad():
+        want_recon, want_h, _ = ref(input_batch)
+    np.testing.assert_allclose(
+        np.asarray(latent), want_h.detach().numpy(), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(recon), want_recon.detach().numpy(), rtol=5e-4, atol=5e-5
+    )
+
+
+@pytest.mark.slow
+def test_vae_vs_reference(rng):
+    """VAE (reference models/vae.py:39-232) parity: encoder (GNN +
+    learnable-PCA + mu/log-sigma heads + aux std/corr losses), the foreach
+    per-slot decoder on an injected latent, the closed-form KLD, and the
+    actual reference RBF/IMQ MMD kernels."""
+    from models.vae import VAE as RefVAE
+
+    from multilevel_gnn_tpu.models.vae import VAE, _kernel_matrix, vae_loss
+
+    raw_indice = np.sort(
+        rng.randint(0, 3 * N_PATH, size=G_ROWS).astype(np.int32)
+    )
+    slot_sizes = np.bincount(raw_indice, minlength=3 * N_PATH)
+    cfg = gbm_like_cfg().replace(
+        model="mmd_vae",
+        decoder_type="foreach",
+        decoder_dim=32,
+        node_num=5135,
+        slot_sizes=tuple(int(v) for v in slot_sizes),
+        mmd_kernel_type="rbf",
+        z_var=2.0,
+    )
+    Bv = 4  # B=2 makes every pairwise corr exactly +-1 (eps-dominated)
+    E_VAE = 4000
+    edges = rng.randint(0, NODES, size=(2, E_VAE)).astype(np.int32)
+    attr = rng.rand(E_VAE, 1).astype(np.float32)
+    graph = Graph.from_edges(edges, attr, NODES).with_self_loops()
+    gene_pca_match = rng.randint(-1, NODES, size=G_ROWS).astype(np.int32)
+    info_mask = (rng.rand(G_ROWS, 1) > 0.4).astype(np.float32)
+    ctx = make_fold_context(
+        graph, gene_pca_match, raw_indice, info_mask, n_pathways=N_PATH
+    )
+    x = rng.randn(Bv, NODES).astype(np.float32)
+    batch = Batch(
+        x=jnp.asarray(x),
+        y=jnp.zeros((Bv, 2), jnp.float32),
+        age=jnp.zeros(Bv, jnp.float32),
+        sample_mask=jnp.ones(Bv, bool),
+    )
+    model = VAE(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), batch, ctx, False,
+        rng_key=jax.random.PRNGKey(5),
+    )
+    out = model.apply(
+        params, batch, ctx, False, rng_key=jax.random.PRNGKey(5)
+    )
+
+    args = ref_args(cfg)
+    args.decoder_dim = cfg.decoder_dim
+    args.decoder_type = cfg.decoder_type
+    args.reorder_type = "pca"
+    args.mmd_kernel_type = cfg.mmd_kernel_type
+    args.z_var = cfg.z_var
+    ref = RefVAE(args, pathway_indexs=t(raw_indice.astype(np.int64)))
+    ref.eval()
+    pp = params["params"]
+    with torch.no_grad():
+        ref.node_embedding.data.copy_(t(pp["node_embedding"]))
+        ref.learnable_pca_params.data.copy_(t(pp["learnable_pca_params"]))
+    for i in range(cfg.num_layers):
+        g = pp[f"gnn_{i}"]["gconv"]
+        set_lin(ref.gnn_model[i].gconv.lin_r, g["lin_r"]["kernel"])
+        set_lin(
+            ref.gnn_model[i].gconv.nn[0],
+            g["nn"]["Linear_0"]["Dense_0"]["kernel"],
+            g["nn"]["Linear_0"]["Dense_0"]["bias"],
+        )
+    set_lin(
+        ref.enc_mu,
+        pp["enc_mu"]["Dense_0"]["kernel"],
+        pp["enc_mu"]["Dense_0"]["bias"],
+    )
+    set_lin(
+        ref.enc_log_sigma,
+        pp["enc_log_sigma"]["Dense_0"]["kernel"],
+        pp["enc_log_sigma"]["Dense_0"]["bias"],
+    )
+    for s in range(3 * N_PATH):
+        if slot_sizes[s] == 0:
+            continue
+        set_lin(
+            ref.decoder[s][0],
+            pp[f"dec_slot{s}_0"]["Dense_0"]["kernel"],
+            pp[f"dec_slot{s}_0"]["Dense_0"]["bias"],
+        )
+        set_lin(
+            ref.decoder[s][2],
+            pp[f"dec_slot{s}_1"]["Dense_0"]["kernel"],
+            pp[f"dec_slot{s}_1"]["Dense_0"]["bias"],
+        )
+    ref.set_info_mask(t(info_mask))
+
+    eb = np.concatenate(
+        [edges.astype(np.int64) + b * NODES for b in range(Bv)], axis=1
+    )
+    input_batch = types.SimpleNamespace(
+        x=t(x.reshape(-1)),
+        edge_index=t(eb),
+        edge_attr=t(np.tile(attr, (Bv, 1))),
+        gene_pca_match=t(np.tile(gene_pca_match.astype(np.int64), (Bv, 1))),
+        raw_indice=t(np.tile(raw_indice.astype(np.int64), (Bv, 1))),
+    )
+    with torch.no_grad():
+        q_z, embedding, (l_std, _, l_corr), _gene = ref.encoder(input_batch)
+    H = int(np.asarray(out["mu"]).shape[-1])
+    want_mu = embedding[..., :H].detach().numpy()
+    want_sigma = embedding[..., H:].detach().numpy()
+    np.testing.assert_allclose(
+        np.asarray(out["mu"]), want_mu, rtol=5e-4, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["sigma"]), want_sigma, rtol=5e-4, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        float(out["aux_losses"]["std"]), float(l_std), rtol=2e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(out["aux_losses"]["corr"]), float(l_corr), rtol=1e-3, atol=1e-5
+    )
+
+    # decoder on OUR z (reference rsamples internally, so inject)
+    with torch.no_grad():
+        want_recon = ref.foreach_decoder(t(np.asarray(out["z"])))
+    np.testing.assert_allclose(
+        np.asarray(out["pred_x"]), want_recon.detach().numpy(),
+        rtol=5e-4, atol=5e-5,
+    )
+
+    # closed-form KLD vs torch.distributions (deterministic part of
+    # vae_loss, reference :350-353)
+    want_kld = float(
+        torch.distributions.kl_divergence(
+            q_z, torch.distributions.Normal(0.0, 1.0)
+        ).sum(-1).mean()
+    )
+    mu_j, sig_j = out["mu"], out["sigma"]
+    ours_kld = float(
+        ((sig_j**2 + mu_j**2) / 2.0 - 0.5 - jnp.log(sig_j)).sum(-1).mean()
+    )
+    np.testing.assert_allclose(ours_kld, want_kld, rtol=1e-4, atol=1e-6)
+
+    # MMD kernels vs the actual reference functions (vae.py:376-433)
+    za = rng.randn(8, 16).astype(np.float32)
+    zb = rng.randn(8, 16).astype(np.float32)
+    x1 = t(za)[:, None, :].expand(8, 8, 16)
+    x2 = t(zb)[None, :, :].expand(8, 8, 16)
+    want_rbf = ref.compute_rbf(x1, x2).numpy()
+    ours_rbf = _kernel_matrix(jnp.asarray(za), jnp.asarray(zb), cfg)
+    np.testing.assert_allclose(np.asarray(ours_rbf), want_rbf, rtol=1e-5)
+    icfg = cfg.replace(mmd_kernel_type="imq")
+    ref.args.mmd_kernel_type = "imq"
+    want_imq = float(ref.compute_inv_mult_quad(x1, x2))
+    # reference excludes the diagonal of the SAME-argument matrix
+    ours_imq = float(_kernel_matrix(jnp.asarray(za), jnp.asarray(zb), icfg))
+    np.testing.assert_allclose(ours_imq, want_imq, rtol=1e-5)
+
+
+def test_vector_quantizer_vs_reference(rng):
+    """VectorQuantizer (reference models/vq_vae.py:36-83) value AND
+    gradient parity: codebook injected, forward quantization + vq_loss,
+    straight-through gradient to the latents, codebook gradient from the
+    embedding loss."""
+    from models.vq_vae import VectorQuantizer as RefVQ
+
+    from multilevel_gnn_tpu.models.vq_vae import VectorQuantizer
+
+    K, D = 11, 6
+    latents = rng.randn(4, 9, D).astype(np.float32)
+    vq = VectorQuantizer(K, D, beta=0.25)
+    params = vq.init(jax.random.PRNGKey(0), jnp.asarray(latents))
+
+    ref = RefVQ(K, D, beta=0.25)
+    with torch.no_grad():
+        ref.embedding.weight.copy_(t(params["params"]["embedding"]))
+
+    def f(p, lat):
+        q, l = vq.apply(p, lat)
+        return (q**2).sum() + 3.0 * l, (q, l)
+
+    (obj, (q, l)), grads = jax.value_and_grad(f, argnums=(0, 1), has_aux=True)(
+        params, jnp.asarray(latents)
+    )
+
+    lat_t = t(latents).requires_grad_(True)
+    want_q, want_l = ref(lat_t)
+    want_obj = (want_q**2).sum() + 3.0 * want_l
+    want_obj.backward()
+
+    np.testing.assert_allclose(
+        np.asarray(q), want_q.detach().numpy(), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(float(l), float(want_l), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(grads[1]), lat_t.grad.numpy(), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads[0]["params"]["embedding"]),
+        ref.embedding.weight.grad.numpy(),
+        rtol=1e-4, atol=1e-6,
+    )
