@@ -15,7 +15,11 @@ _LIB = None
 def _lib():
     global _LIB
     if _LIB is None:
-        path = os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "libmgtpu.so")
+        # MGTPU_NATIVE_LIB overrides for installed (non-repo) layouts where
+        # csrc/ is not two levels above the package.
+        path = os.environ.get("MGTPU_NATIVE_LIB") or os.path.join(
+            os.path.dirname(__file__), "..", "..", "csrc", "libmgtpu.so"
+        )
         _LIB = ctypes.CDLL(os.path.abspath(path))
         _LIB.parse_edge_tsv.restype = ctypes.c_void_p
         _LIB.parse_edge_tsv.argtypes = [ctypes.c_char_p]

@@ -141,11 +141,17 @@ def make_optimizer(
         chain.append(optax.radam(lr, b1=cfg.beta1, b2=cfg.beta2))
         if cfg.wd > 0:
             chain.append(optax.add_decayed_weights(cfg.wd))
-    elif name == "adamw" or (name == "adam" and cfg.wd > 0):
+    elif name == "adamw":
         chain.append(
             optax.adamw(lr, b1=cfg.beta1, b2=cfg.beta2, weight_decay=cfg.wd)
         )
     else:
+        # torch optim.Adam(weight_decay=wd) is COUPLED L2 (wd*p added to
+        # the gradient before the moment updates, train.py:112), not
+        # decoupled AdamW — replicate by injecting the decay term ahead
+        # of the Adam transform.
+        if cfg.wd > 0:
+            chain.append(optax.add_decayed_weights(cfg.wd))
         chain.append(optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2))
     return optax.chain(*chain)
 

@@ -826,3 +826,83 @@ def test_vector_quantizer_vs_reference(rng):
         ref.embedding.weight.grad.numpy(),
         rtol=1e-4, atol=1e-6,
     )
+
+
+@pytest.mark.slow
+def test_training_trajectory_vs_reference(rng):
+    """Multi-step TRAINING TRAJECTORY parity vs the actual reference loop
+    (train.py:38-68 + run():111-114): 5 Adam steps with grad clipping
+    (clip_grad_norm_ max_norm=20), coupled-L2 weight decay
+    (optim.Adam(weight_decay=wd)), and a StepLR decay boundary
+    (StepLR(step_size=2, gamma=0.5) stepped per epoch, 1 step/epoch here).
+    Losses must match at every step and the final updated parameters must
+    still produce allclose predictions — this pins optimizer semantics,
+    bias correction, the lr schedule, and clip ordering, not just one
+    gradient."""
+    import optax
+
+    from multilevel_gnn_tpu.train.step import (
+        classification_loss,
+        make_optimizer,
+    )
+
+    cfg = gbm_like_cfg().replace(
+        lr=1e-3, step=2, gamma=0.5, clip_grad=True, wd=1e-3
+    )
+    model, params, ctx, batch, ref, input_batch = build_fixture(rng, cfg)
+    class_weight = np.asarray([1.0, 3.5], np.float32)
+
+    def loss_fn(p):
+        pred, feat = model.apply(p, batch, ctx, False)
+        loss = classification_loss(
+            pred, batch.y, jnp.asarray(class_weight), batch.sample_mask, cfg
+        )
+        return loss + get_feature_loss(
+            p["params"]["learnable_pca_params"], ctx, feat, cfg
+        )
+
+    tx = make_optimizer(cfg, steps_per_epoch=1)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    criterion = torch.nn.BCELoss(weight=t(class_weight))
+    optimizer = torch.optim.Adam(
+        ref.parameters(), lr=cfg.lr, betas=(cfg.beta1, cfg.beta2),
+        weight_decay=cfg.wd,
+    )
+    scheduler = torch.optim.lr_scheduler.StepLR(
+        optimizer, step_size=cfg.step, gamma=cfg.gamma
+    )
+
+    for i in range(5):
+        params, opt_state, loss = train_step(params, opt_state)
+
+        pred, feat = ref(input_batch)
+        ref_loss = criterion(pred.to(torch.float32), t(np.asarray(batch.y)))
+        ref_loss = ref_loss + ref.get_feature_loss(feat)
+        optimizer.zero_grad()
+        ref_loss.backward()
+        torch.nn.utils.clip_grad_norm_(
+            parameters=ref.parameters(), max_norm=20, norm_type=2
+        )
+        optimizer.step()
+        scheduler.step()  # per-epoch in the reference; 1 step/epoch here
+
+        np.testing.assert_allclose(
+            float(loss), float(ref_loss.detach()), rtol=5e-4, atol=1e-6,
+            err_msg=f"loss diverged at step {i}",
+        )
+
+    pred, _ = jax.jit(lambda p, b: model.apply(p, b, ctx, False))(
+        params, batch
+    )
+    with torch.no_grad():
+        want_pred, _ = ref(input_batch)
+    np.testing.assert_allclose(
+        np.asarray(pred), want_pred.numpy(), rtol=2e-3, atol=2e-4
+    )
