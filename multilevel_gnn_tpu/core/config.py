@@ -247,6 +247,11 @@ class Config:
     compute_dtype: Optional[str] = None  # None | 'bfloat16'
     mesh_data_axis: int = 1  # data-parallel mesh size
     mesh_model_axis: int = 1  # edge-partition mesh size
+    # boundary-only halo exchange for the edge-partitioned aggregation
+    # (SURVEY §5.7): all_to_all of boundary node rows + local segment
+    # reduction instead of GSPMD's full (N, C) partial all-reduce per conv.
+    # Requires mesh_model_axis > 1.
+    halo_exchange: bool = False
     ckpt_every: int = 0  # save {params,opt_state,loop} every N epochs (0=off)
     pathway_edge_num: int = 0  # set by the data pipeline (onehot edge count)
 

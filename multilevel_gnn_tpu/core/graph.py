@@ -58,6 +58,7 @@ class Graph:
     csc: Optional[object] = None
     in_deg: Optional[jax.Array] = None
     winplan: Optional[object] = None
+    halo: Optional[object] = None
 
     @staticmethod
     def from_edges(

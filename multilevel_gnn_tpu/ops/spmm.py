@@ -74,6 +74,21 @@ def set_backend(name: str) -> None:
     _BACKEND = name
 
 
+_PARALLEL_MESH = None
+
+
+def set_parallel_mesh(mesh) -> None:
+    """Mesh used by the boundary-only halo aggregation (SURVEY §5.7).
+
+    Set by the driver's mesh path when cfg.halo_exchange is on (None
+    disables).  When a Graph carries a HaloPartition (graph.halo) and a
+    mesh is set, gather_scatter routes sum/mean aggregations through
+    parallel/halo.py's shard_map all_to_all exchange instead of leaving
+    GSPMD to all-reduce full (N, C) node partials."""
+    global _PARALLEL_MESH
+    _PARALLEL_MESH = mesh
+
+
 def get_backend() -> str:
     return _BACKEND
 
@@ -372,6 +387,28 @@ def gather_scatter(
     x: (..., N, C); edge_weight: (E,) or (E, 1) or None; returns (..., N, C).
     """
     backend = backend or _BACKEND
+    if (
+        getattr(graph, "halo", None) is not None
+        and _PARALLEL_MESH is not None
+        and reduce in ("sum", "add", "mean")
+    ):
+        # mesh path with halo_exchange on: boundary-only all_to_all of halo
+        # rows + per-shard local segment reduction (parallel/halo.py);
+        # output stays node-sharded on 'model' — GSPMD re-gathers lazily
+        # only where a consumer needs remote rows
+        from multilevel_gnn_tpu.parallel.halo import (
+            halo_gather_scatter,
+            pad_nodes_for,
+        )
+
+        w = edge_weight
+        if w is not None and w.ndim == 1:
+            w = w[:, None]
+        out = halo_gather_scatter(
+            pad_nodes_for(x, graph.halo), graph.halo, _PARALLEL_MESH,
+            reduce, w,
+        )
+        return out[..., : graph.n_nodes, :]
     if (
         backend == "pallas"
         and graph.csr is not None

@@ -220,6 +220,20 @@ def run_fold(
             cfg.batch_size, dict(mesh.shape),
         )
         ctx = shard_ctx(ctx, mesh)
+        from multilevel_gnn_tpu.ops import spmm as _spmm
+
+        if cfg.halo_exchange and mesh.shape["model"] > 1:
+            # boundary-only halo exchange (§5.7): partition built from the
+            # shard-padded graph so edge_sel indexes the padded edge array
+            import dataclasses as _dc
+
+            from multilevel_gnn_tpu.parallel.halo import build_halo_partition
+
+            hp = build_halo_partition(ctx.graph, mesh.shape["model"])
+            ctx = _dc.replace(ctx, graph=_dc.replace(ctx.graph, halo=hp))
+            _spmm.set_parallel_mesh(mesh)
+        else:
+            _spmm.set_parallel_mesh(None)
 
     Y, ages = cohort.Y, cohort.ages
     steps_per_epoch = max(len(train_idx) // cfg.batch_size, 1)

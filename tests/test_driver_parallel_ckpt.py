@@ -146,3 +146,31 @@ def test_checkpoint_resume_identical(tmp_path, cohort_and_cfg):
         np.testing.assert_allclose(
             got[key][e], want[key][e], rtol=0, atol=1e-12, err_msg=key
         )
+
+
+def test_halo_experiment_matches_single_device(cohort_and_cfg):
+    """--mesh 1x4 + halo_exchange through the driver == single-device.
+
+    The boundary-only halo path (parallel/halo.py, wired via
+    cfg.halo_exchange -> Graph.halo + ops.spmm.set_parallel_mesh) replaces
+    GSPMD's full (N, C) partial all-reduce per conv with an all_to_all of
+    boundary rows; the aggregation itself is mathematically identical, so
+    every pooled metric must match the single-device experiment."""
+    from multilevel_gnn_tpu.ops import spmm
+
+    cfg, cohort = cohort_and_cfg
+    want = run_experiment(cfg, cohort)
+    try:
+        got = run_experiment(
+            cfg.replace(
+                mesh_data_axis=1, mesh_model_axis=4, halo_exchange=True
+            ),
+            cohort,
+        )
+    finally:
+        spmm.set_parallel_mesh(None)
+    e = want["check_epochs"][-1]
+    for key in ("auc", "auc_by_loss", "auc_by_epoch", "acc"):
+        np.testing.assert_allclose(
+            got[key][e], want[key][e], rtol=1e-5, atol=1e-6, err_msg=key
+        )
