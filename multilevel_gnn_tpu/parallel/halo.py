@@ -79,9 +79,95 @@ class HaloPartition:
     n_edges_local: int = dataclasses.field(metadata=dict(static=True))
     n_nodes: int = dataclasses.field(metadata=dict(static=True))
     n_edges: int = dataclasses.field(metadata=dict(static=True))
+    # optional per-shard Pallas flat-segment metadata (leading (k,) on every
+    # array leaf; statics uniform across shards — see _stack_segments).
+    # When present, the in-shard aggregations ride the same MXU
+    # sorted-segment-sum kernel family as the single-chip path (zero XLA
+    # scatter in forward or backward on the sharded step).
+    seg_int_fwd: Optional[object] = None  # interior edges by receiver
+    seg_int_bwd: Optional[object] = None  # interior edges by sender
+    seg_bnd_fwd: Optional[object] = None  # boundary edges by receiver
+    seg_bnd_bwd: Optional[object] = None  # boundary edges by halo slot
+    seg_send: Optional[object] = None  # send-gather transpose (by local row)
 
 
-def build_halo_partition(graph: Graph, k: int) -> HaloPartition:
+def _stack_segments(segs):
+    """Stack per-shard SortedSegments into one pytree with a leading (k,)
+    axis on every array leaf and UNIFORM statics (shard_map runs one SPMD
+    program, so flat chunk counts / max_chunks are padded to the max over
+    shards with zero-contribution all-padding chunks)."""
+    from multilevel_gnn_tpu.ops.pallas.segment_sum import SortedSegments
+
+    te = segs[0].te
+    n_tiles = segs[0].n_tiles
+    n_ids = segs[0].n_ids
+    num_segments = segs[0].num_segments
+    assert all(
+        s.te == te and s.n_tiles == n_tiles and s.n_ids == n_ids
+        and s.num_segments == num_segments
+        for s in segs
+    )
+    Cf = max(s.n_flat_chunks for s in segs)
+    mc = max(s.max_chunks for s in segs)
+    flat_ids3d, owner, perm_pad, ids3d, perm = [], [], [], [], []
+    for s in segs:
+        fi = np.asarray(s.flat_ids3d)
+        ow = np.asarray(s.owner)
+        pp = np.asarray(s.perm_pad)
+        pad = Cf - s.n_flat_chunks
+        if pad:
+            fi = np.concatenate(
+                [fi, np.full((pad, te // 128, 128), num_segments, fi.dtype)]
+            )
+            ow = np.concatenate([ow, np.full(pad, n_tiles - 1, ow.dtype)])
+            pp = np.concatenate([pp, np.full(pad * te, n_ids, pp.dtype)])
+        flat_ids3d.append(fi)
+        owner.append(ow)
+        perm_pad.append(pp)
+        ids3d.append(np.asarray(s.ids3d))
+        perm.append(
+            np.arange(n_ids, dtype=np.int32)
+            if s.perm is None
+            else np.asarray(s.perm)
+        )
+    return SortedSegments(
+        ids3d=jnp.asarray(np.stack(ids3d)),
+        chunk_first=jnp.stack([s.chunk_first for s in segs]),
+        n_chunks=jnp.stack([s.n_chunks for s in segs]),
+        perm=jnp.asarray(np.stack(perm)),
+        flat_ids3d=jnp.asarray(np.stack(flat_ids3d)),
+        owner=jnp.asarray(np.stack(owner)),
+        perm_pad=jnp.asarray(np.stack(perm_pad)),
+        num_segments=num_segments,
+        n_ids=n_ids,
+        tn=segs[0].tn,
+        te=te,
+        max_chunks=mc,
+        n_tiles=n_tiles,
+        n_flat_chunks=Cf,
+    )
+
+
+def _local_segments(seg):
+    """Slice one shard's SortedSegments out of a stacked pytree (inside
+    shard_map, where every array leaf carries a leading (1,) shard slice)."""
+    import dataclasses as _dc
+
+    return _dc.replace(
+        seg,
+        ids3d=seg.ids3d[0],
+        chunk_first=seg.chunk_first[0],
+        n_chunks=seg.n_chunks[0],
+        perm=seg.perm[0],
+        flat_ids3d=seg.flat_ids3d[0],
+        owner=seg.owner[0],
+        perm_pad=seg.perm_pad[0],
+    )
+
+
+def build_halo_partition(
+    graph: Graph, k: int, pallas: bool = False
+) -> HaloPartition:
     """Partition `graph` for k shards (host-side, numpy)."""
     send = np.asarray(graph.senders)
     recv = np.asarray(graph.receivers)
@@ -148,7 +234,53 @@ def build_halo_partition(graph: Graph, k: int) -> HaloPartition:
     for p in range(k):
         deg[p] = cnt[p * Nl : (p + 1) * Nl]
 
+    segs = {}
+    if pallas:
+        import os as _os
+
+        from multilevel_gnn_tpu.ops.pallas.segment_sum import SortedSegments
+
+        te = int(_os.environ.get("MGTPU_TE", "256"))
+
+        def per_shard(ids_fn, mask_fn, num_segments):
+            return _stack_segments([
+                SortedSegments.build(
+                    ids_fn(p), num_segments, te=te, mask=mask_fn(p),
+                    flat_bucket=1,
+                )
+                for p in range(k)
+            ])
+
+        segs = dict(
+            seg_int_fwd=per_shard(
+                lambda p: receivers_loc[p],
+                lambda p: edge_mask[p] & interior_m[p], Nl,
+            ),
+            seg_int_bwd=per_shard(
+                lambda p: senders_ext[p],
+                lambda p: edge_mask[p] & interior_m[p], Nl,
+            ),
+            seg_bnd_fwd=per_shard(
+                lambda p: receivers_loc[p],
+                lambda p: edge_mask[p] & ~interior_m[p], Nl,
+            ),
+            seg_bnd_bwd=per_shard(
+                lambda p: np.maximum(senders_ext[p] - Nl, 0),
+                lambda p: edge_mask[p] & ~interior_m[p], k * H,
+            ),
+            # send gather: padding slots of send_idx are row 0 — their
+            # halo rows are never referenced by any boundary edge, so the
+            # backward segment-sum gets zero cotangents there (harmless)
+            seg_send=_stack_segments([
+                SortedSegments.build(
+                    send_idx[p].reshape(-1), Nl, te=te, flat_bucket=1
+                )
+                for p in range(k)
+            ]),
+        )
+
     return HaloPartition(
+        **segs,
         senders_ext=jnp.asarray(senders_ext),
         receivers_loc=jnp.asarray(receivers_loc),
         edge_sel=jnp.asarray(edge_sel),
@@ -175,49 +307,72 @@ def halo_gather_scatter(
 ) -> jax.Array:
     """Edge-partitioned aggregation with boundary-only halo exchange.
 
-    x: (.., N_pad, C) REPLICATED input (N_pad = k * n_local; pad nodes with
-    zeros).  Returns (.., N_pad, C) SHARDED on `axis` over the node dim
-    (a global-view array; slice [:n_nodes] after materializing).  The
-    interior aggregation is emitted before the all_to_all consumer so XLA
-    overlaps exchange with interior compute.
+    x: (.., N_pad, C) input, N_pad = k * n_local (pad_nodes_for) — consumed
+    NODE-SHARDED on `axis` (each shard touches only its own block, so the
+    autodiff transpose needs no collective on d_x; GSPMD reshards a
+    replicated input with a local slice).  Returns (.., N_pad, C) SHARDED
+    on `axis` over the node dim (a global-view array; slice [:n_nodes]
+    after materializing).  The interior aggregation is emitted before the
+    all_to_all consumer so XLA overlaps exchange with interior compute.
+
+    When hp carries per-shard Pallas metadata (build_halo_partition(...,
+    pallas=True)), both in-shard aggregations and the send-gather backward
+    ride the MXU sorted-segment-sum kernels — zero XLA scatter in forward
+    or backward, same kernel family as the single-chip path.
     """
     k, Nl, H = hp.k, hp.n_local, hp.halo
-    w_full = None
     if edge_weight is not None:
         w = edge_weight if edge_weight.ndim > 1 else edge_weight[:, None]
         zero = jnp.zeros((1,) + w.shape[1:], w.dtype)
         w_full = jnp.take(
             jnp.concatenate([w, zero], axis=0), hp.edge_sel, axis=0
         )  # (k, E_l, 1)
+    else:
+        w_full = jnp.ones((k, hp.n_edges_local, 1), x.dtype)
+    use_pallas = hp.seg_int_fwd is not None
+    seg_args = (
+        (hp.seg_int_fwd, hp.seg_int_bwd, hp.seg_bnd_fwd, hp.seg_bnd_bwd,
+         hp.seg_send)
+        if use_pallas
+        else ()
+    )
 
-    def local(x, s_ext, r_loc, emask, interior, send_idx, deg, w):
+    def local(x, s_ext, r_loc, emask, interior, send_idx, deg, w, *segs):
         # shard_map drops the leading (1,)-sized shard axis slices
         s_ext, r_loc = s_ext[0], r_loc[0]
         emask, interior = emask[0], interior[0]
-        send_idx, deg = send_idx[0], deg[0]
-        w = w[0] if w is not None else None
-        p = jax.lax.axis_index(axis)
-        xl = jax.lax.dynamic_slice_in_dim(x, p * Nl, Nl, axis=-2)
+        send_idx, deg, w = send_idx[0], deg[0], w[0]
+        xl = x  # node-sharded input: this shard's (.., Nl, C) block
+        send_flat = send_idx.reshape(-1)
 
-        def agg(sender_table, sel_mask):
-            msg = jnp.take(sender_table, s_ext, axis=-2)
-            if w is not None:
-                msg = msg * w
-            return seg_ops.segment_sum(
-                msg, r_loc, Nl, mask=sel_mask
+        if use_pallas:
+            from multilevel_gnn_tpu.ops import spmm as _spmm
+
+            si_f, si_b, sb_f, sb_b, s_send = (
+                _local_segments(s) for s in segs
             )
+            # interior partial first (overlaps with the all_to_all below);
+            # dropped (non-interior / padding) edges are absent from the
+            # seg's flat layout, so no runtime masking is needed
+            part = _spmm._fused_spmm_sum(xl, w, s_ext, r_loc, si_f, si_b)
+            send = _spmm.gather_rows(xl, send_flat, s_send)
+        else:
+            def agg(sender_table, sel_mask):
+                msg = jnp.take(sender_table, s_ext, axis=-2) * w
+                return seg_ops.segment_sum(msg, r_loc, Nl, mask=sel_mask)
 
-        # interior partial first (overlaps with the all_to_all below)
-        part = agg(
-            jnp.concatenate(
-                [xl, jnp.zeros(xl.shape[:-2] + (k * H, xl.shape[-1]), xl.dtype)],
-                axis=-2,
-            ),
-            emask & interior,
-        )
+            part = agg(
+                jnp.concatenate(
+                    [xl,
+                     jnp.zeros(xl.shape[:-2] + (k * H, xl.shape[-1]),
+                               xl.dtype)],
+                    axis=-2,
+                ),
+                emask & interior,
+            )
+            send = jnp.take(xl, send_flat, axis=-2)  # (.., k*H, C)
 
         # halo exchange: send my rows requested by each peer
-        send = jnp.take(xl, send_idx.reshape(-1), axis=-2)  # (.., k*H, C)
         send = jnp.moveaxis(
             send.reshape(send.shape[:-2] + (k, H, send.shape[-1])), -3, 0
         )  # (k, .., H, C)
@@ -226,8 +381,13 @@ def halo_gather_scatter(
         halo_rows = recv.reshape(
             recv.shape[:-3] + (k * H, recv.shape[-1])
         )
-        x_ext = jnp.concatenate([xl, halo_rows], axis=-2)
-        part = part + agg(x_ext, emask & ~interior)
+        if use_pallas:
+            part = part + _spmm._fused_spmm_sum(
+                halo_rows, w, jnp.maximum(s_ext - Nl, 0), r_loc, sb_f, sb_b
+            )
+        else:
+            x_ext = jnp.concatenate([xl, halo_rows], axis=-2)
+            part = part + agg(x_ext, emask & ~interior)
 
         if reduce == "mean":
             part = part / jnp.clip(deg, 1.0, None)[:, None]
@@ -235,25 +395,20 @@ def halo_gather_scatter(
             raise NotImplementedError(reduce)
         return part
 
-    out_spec = P(*([None] * (x.ndim - 2)), axis, None)
+    node_spec = P(*([None] * (x.ndim - 2)), axis, None)
     in_specs = (
-        P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-        P(axis) if w_full is not None else None,
+        node_spec, P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+        P(axis),
+    ) + tuple(jax.tree.map(lambda _: P(axis), s) for s in seg_args)
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=in_specs, out_specs=node_spec,
+        # pallas_call emits ShapeDtypeStructs without vma annotations;
+        # the varying-mesh-axes checker rejects them inside shard_map
+        check_vma=False,
     )
-    if w_full is None:
-        fn = jax.shard_map(
-            lambda *a: local(*a, None),
-            mesh=mesh, in_specs=in_specs[:-1], out_specs=out_spec,
-        )
-        args = ()
-    else:
-        fn = jax.shard_map(
-            local, mesh=mesh, in_specs=in_specs, out_specs=out_spec
-        )
-        args = (w_full,)
     return fn(
         x, hp.senders_ext, hp.receivers_loc, hp.edge_mask, hp.interior,
-        hp.send_idx, hp.deg, *args
+        hp.send_idx, hp.deg, w_full, *seg_args
     )
 
 

@@ -229,7 +229,10 @@ def run_fold(
 
             from multilevel_gnn_tpu.parallel.halo import build_halo_partition
 
-            hp = build_halo_partition(ctx.graph, mesh.shape["model"])
+            hp = build_halo_partition(
+                ctx.graph, mesh.shape["model"],
+                pallas=_spmm.get_backend() == "pallas",
+            )
             ctx = _dc.replace(ctx, graph=_dc.replace(ctx.graph, halo=hp))
             _spmm.set_parallel_mesh(mesh)
         else:
