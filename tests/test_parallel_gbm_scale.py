@@ -53,3 +53,44 @@ def test_gbm_scale_sharded_step_compiles_and_runs():
     esh = sctx.graph.senders.sharding
     assert "model" in esh.spec
     assert "data" in sbatch.x.sharding.spec
+
+
+@pytest.mark.slow
+def test_gbm_scale_halo_step_compiles_and_runs():
+    """Same GBM-scale step with the boundary-only halo exchange (xla
+    in-shard path — the Pallas in-shard kernels are interpret-mode-only on
+    CPU and too slow at 165k edges; covered at kernel level in
+    tests/test_halo.py)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    import dataclasses as dc
+
+    from multilevel_gnn_tpu.ops import spmm
+    from multilevel_gnn_tpu.parallel.halo import build_halo_partition
+
+    cfg, model, graph, ctx, batch = make_gbm_scale_setup()
+    mesh = make_mesh(2, 4)
+
+    params = model.init(jax.random.PRNGKey(0), batch, ctx, False)
+    optimizer = make_optimizer(cfg, steps_per_epoch=1)
+    opt_state = optimizer.init(params)
+
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+    sbatch = shard_batch(batch, mesh)
+    sctx = shard_ctx(ctx, mesh)
+    hp = build_halo_partition(sctx.graph, 4)
+    sctx = dc.replace(sctx, graph=dc.replace(sctx.graph, halo=hp))
+    cw = replicate(jnp.ones(2, jnp.float32), mesh)
+
+    step = make_parallel_train_step(model, cfg, mesh, optimizer)
+    spmm.set_parallel_mesh(mesh)
+    try:
+        with mesh:
+            params, opt_state, loss = step(
+                params, opt_state, sbatch, sctx, cw, jax.random.PRNGKey(1)
+            )
+            loss.block_until_ready()
+    finally:
+        spmm.set_parallel_mesh(None)
+    assert bool(jnp.isfinite(loss)), float(loss)
