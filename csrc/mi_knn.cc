@@ -1,0 +1,170 @@
+// Threaded kNN mutual-information estimator for continuous features vs a
+// discrete target — a value-exact C++ re-implementation of sklearn's
+// _compute_mi_cd (sklearn/feature_selection/_mutual_info.py; the
+// Ross 2014 estimator the reference calls via mutual_info_classif,
+// reference models/multilevel_gnn.py:353-377).
+//
+// Why: the per-fold MI mask over 15,405 features is the host bottleneck of
+// the CV protocol (measured: 21.7 s/fold with sklearn n_jobs=-1 at
+// n=400 — x150 fold computations for a 30-run experiment).  Each feature
+// is ONE-dimensional, so the kNN radius search and the radius counts
+// collapse to sorted-array two-pointer scans; the per-feature KDTree +
+// Python dispatch sklearn pays is pure overhead.
+//
+// Exactness: the caller (multilevel_gnn_tpu/data/native.py:mi_classif)
+// reproduces sklearn's preprocessing bit-for-bit in numpy (scale +
+// seeded 1e-10 noise) and passes a scipy digamma table for integer
+// arguments, so this core only needs the same distance rounding
+// (sqrt(d*d), matching KDTree's euclidean), the same np.nextafter radius
+// shrink, and the same <= radius counting semantics.
+//
+// Build: make -C csrc
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// sklearn distance rounding: KDTree euclidean in 1-D computes
+// sqrt((a-b)^2) — NOT fabs(a-b); the two can differ by one ulp, and the
+// nextafter-shrunk radius makes that ulp decide counts.
+static inline double skdist(double a, double b) {
+  double d = a - b;
+  return std::sqrt(d * d);
+}
+
+struct Feature {
+  double mi;
+};
+
+// One feature: x (n,) values, y (n,) class codes in [0, n_classes),
+// counts per class precomputed.  digamma_tab[i] = scipy digamma(i).
+double mi_cd_one(const double* x, const int32_t* y, long n, int n_classes,
+                 const long* class_count, int k_neighbors,
+                 const double* digamma_tab,
+                 // scratch, reused across features per thread
+                 std::vector<int>& order, std::vector<double>& xs,
+                 std::vector<int>& ys, std::vector<double>& radius,
+                 std::vector<std::vector<double>>& class_xs,
+                 std::vector<int>& kept_k) {
+  order.resize(n);
+  for (long i = 0; i < n; ++i) order[i] = (int)i;
+  std::sort(order.begin(), order.end(),
+            [&](int a, int b) { return x[a] < x[b]; });
+  xs.resize(n);
+  ys.resize(n);
+  for (long i = 0; i < n; ++i) {
+    xs[i] = x[order[i]];
+    ys[i] = y[order[i]];
+  }
+
+  // per-class sorted value lists
+  for (int c = 0; c < n_classes; ++c) class_xs[c].clear();
+  for (long i = 0; i < n; ++i) class_xs[ys[i]].push_back(xs[i]);
+
+  radius.assign(n, -1.0);  // -1 = dropped (singleton class)
+  kept_k.assign(n, 0);
+  std::vector<long> pos(n_classes, 0);
+  for (long i = 0; i < n; ++i) {
+    int c = ys[i];
+    long cnt = class_count[c];
+    long j = pos[c]++;  // index of this point within its class list
+    if (cnt <= 1) continue;
+    int k = (int)std::min<long>(k_neighbors, cnt - 1);
+    // k-th smallest distance among class neighbors of a sorted array:
+    // merge from both sides
+    const std::vector<double>& cx = class_xs[c];
+    long li = j - 1, ri = j + 1;
+    double kth = 0.0;
+    for (int step = 0; step < k; ++step) {
+      double dl = li >= 0 ? cx[j] - cx[li] : HUGE_VAL;
+      double dr = ri < (long)cx.size() ? cx[ri] - cx[j] : HUGE_VAL;
+      if (dl <= dr) {
+        kth = skdist(cx[j], cx[li]);
+        --li;
+      } else {
+        kth = skdist(cx[ri], cx[j]);
+        ++ri;
+      }
+    }
+    radius[i] = std::nextafter(kth, 0.0);
+    kept_k[i] = k;
+  }
+
+  // m_all: for each kept point, count ALL kept points within <= radius.
+  // Kept points are all points whose class count > 1 (sklearn drops
+  // singleton-label points BEFORE the KDTree count).
+  double sum_dg_m = 0.0, sum_dg_k = 0.0, sum_dg_lc = 0.0;
+  long n_kept = 0;
+  // compacted kept values for the window scan
+  std::vector<double>& kx = class_xs.back();  // reuse slot n_classes
+  kx.clear();
+  for (long i = 0; i < n; ++i)
+    if (class_count[ys[i]] > 1) kx.push_back(xs[i]);
+  for (long i = 0; i < n; ++i) {
+    if (radius[i] < 0.0) continue;
+    double r = radius[i];
+    double xi = xs[i];
+    // conservative bracket, exact predicate inside
+    double slack = 4e-16 * (std::abs(xi) + r) + 1e-300;
+    long lo = std::lower_bound(kx.begin(), kx.end(), xi - r - slack) -
+              kx.begin();
+    long hi = std::upper_bound(kx.begin(), kx.end(), xi + r + slack) -
+              kx.begin();
+    long m = 0;
+    for (long t = lo; t < hi; ++t)
+      if (skdist(xi, kx[t]) <= r) ++m;
+    sum_dg_m += digamma_tab[m];
+    sum_dg_k += digamma_tab[kept_k[i]];
+    sum_dg_lc += digamma_tab[class_count[ys[i]]];
+    ++n_kept;
+  }
+  if (n_kept == 0) return 0.0;
+  double mi = digamma_tab[n_kept] + sum_dg_k / n_kept - sum_dg_lc / n_kept -
+              sum_dg_m / n_kept;
+  return mi > 0.0 ? mi : 0.0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// x: (n, g) row-major float64 (already scaled + noised by the caller)
+// y: (n,) int32 class codes in [0, n_classes)
+// digamma_tab: (n + 1,) scipy digamma of [0..n] (index 0 unused)
+// out: (g,) float64
+void mi_cd_batch(const double* x, long n, long g, const int32_t* y,
+                 int n_classes, int k_neighbors, const double* digamma_tab,
+                 double* out, int n_threads) {
+  std::vector<long> class_count(n_classes, 0);
+  for (long i = 0; i < n; ++i) ++class_count[y[i]];
+  if (n_threads <= 0)
+    n_threads = (int)std::max(1u, std::thread::hardware_concurrency());
+  n_threads = (int)std::min<long>(n_threads, g > 0 ? g : 1);
+
+  auto worker = [&](long f0, long f1) {
+    // per-thread scratch: column copy + sort buffers
+    std::vector<double> col(n), xs, radius;
+    std::vector<int> order, ys, kept_k;
+    std::vector<std::vector<double>> class_xs(n_classes + 1);
+    for (long f = f0; f < f1; ++f) {
+      for (long i = 0; i < n; ++i) col[i] = x[i * g + f];
+      out[f] = mi_cd_one(col.data(), y, n, n_classes, class_count.data(),
+                         k_neighbors, digamma_tab, order, xs, ys, radius,
+                         class_xs, kept_k);
+    }
+  };
+  std::vector<std::thread> threads;
+  long chunk = (g + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    long f0 = t * chunk, f1 = std::min<long>(g, f0 + chunk);
+    if (f0 >= f1) break;
+    threads.emplace_back(worker, f0, f1);
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C"

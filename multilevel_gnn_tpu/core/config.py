@@ -252,6 +252,9 @@ class Config:
     # reduction instead of GSPMD's full (N, C) partial all-reduce per conv.
     # Requires mesh_model_axis > 1.
     halo_exchange: bool = False
+    # threaded C++ kNN MI for the per-fold feature masks (csrc/mi_knn.cc,
+    # value-exact vs sklearn mutual_info_classif); False forces sklearn
+    native_mi: bool = True
     ckpt_every: int = 0  # save {params,opt_state,loop} every N epochs (0=off)
     pathway_edge_num: int = 0  # set by the data pipeline (onehot edge count)
 

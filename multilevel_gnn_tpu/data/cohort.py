@@ -338,26 +338,46 @@ class Cohort:
         x = self.raw_datas[pos]
         y = self.labels()[train_idx]
         rs = cfg.random_state if cfg.freeze_mutual_select_init else None
-        fn = mutual_info_classif if cfg.mutual_classif else mutual_info_regression
-        # n_jobs: per-feature kNN MI estimates are independent; parallelize
-        # across host cores (values identical to the sequential reference
-        # call — sklearn splits by feature, not by sample).  The loky
-        # workers inherit os.environ at first spawn; blank the axon pool
-        # var so each worker's sitecustomize skips TPU-plugin registration
-        # (measured: 109 s of fold-0 prep when every worker re-registered
-        # the remote TPU backend vs ~4 s with CPU-only workers).
-        prev = os.environ.get("PALLAS_AXON_POOL_IPS")
-        os.environ["PALLAS_AXON_POOL_IPS"] = ""
-        try:
-            mi = fn(
-                x, y, n_neighbors=cfg.mutual_neighbors, random_state=rs,
-                n_jobs=-1,
+        mi = None
+        if cfg.mutual_classif and cfg.native_mi:
+            # threaded C++ 1-D kNN MI (csrc/mi_knn.cc) — value-exact vs
+            # sklearn (same scale+noise preprocessing, scipy digamma
+            # table; tests/test_native_mi.py), ~15x faster at cohort
+            # scale (1.5 s vs 21.7 s for 400x15405)
+            try:
+                from multilevel_gnn_tpu.data.native import mi_classif
+
+                mi = mi_classif(
+                    x, y, n_neighbors=cfg.mutual_neighbors, random_state=rs
+                )
+            except OSError:
+                log.info("native MI library unavailable; using sklearn")
+        if mi is None:
+            fn = (
+                mutual_info_classif
+                if cfg.mutual_classif
+                else mutual_info_regression
             )
-        finally:
-            if prev is None:
-                os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-            else:
-                os.environ["PALLAS_AXON_POOL_IPS"] = prev
+            # n_jobs: per-feature kNN MI estimates are independent;
+            # parallelize across host cores (values identical to the
+            # sequential reference call — sklearn splits by feature, not
+            # by sample).  The loky workers inherit os.environ at first
+            # spawn; blank the axon pool var so each worker's
+            # sitecustomize skips TPU-plugin registration (measured:
+            # 109 s of fold-0 prep when every worker re-registered the
+            # remote TPU backend vs ~4 s with CPU-only workers).
+            prev = os.environ.get("PALLAS_AXON_POOL_IPS")
+            os.environ["PALLAS_AXON_POOL_IPS"] = ""
+            try:
+                mi = fn(
+                    x, y, n_neighbors=cfg.mutual_neighbors, random_state=rs,
+                    n_jobs=-1,
+                )
+            finally:
+                if prev is None:
+                    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+                else:
+                    os.environ["PALLAS_AXON_POOL_IPS"] = prev
         thr = (
             cfg.node_select_threshold * np.mean(mi)
             if cfg.mutual_info_threshold is None

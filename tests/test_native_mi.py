@@ -1,0 +1,59 @@
+"""Value parity of the threaded C++ kNN mutual-information estimator
+(csrc/mi_knn.cc via data/native.py:mi_classif) against
+sklearn.feature_selection.mutual_info_classif — the function the reference
+calls for its per-fold feature masks (reference multilevel_gnn.py:353-377).
+
+The MI mask threshold decision (mask = mi >= thr * mean(mi)) consumes
+these values, so parity must hold to summation-order rounding AND the
+derived masks must be identical.
+"""
+import numpy as np
+import pytest
+from sklearn.feature_selection import mutual_info_classif
+
+from multilevel_gnn_tpu.data.native import mi_classif
+
+
+@pytest.mark.parametrize(
+    "n,g,classes,k,seed",
+    [
+        (60, 300, 2, 3, 0),
+        (200, 500, 2, 3, 7),
+        (31, 77, 3, 5, 3),
+        (11, 40, 2, 3, 1),  # n close to k: k clamps to count-1
+    ],
+)
+def test_mi_values_match_sklearn(rng, n, g, classes, k, seed):
+    x = rng.rand(n, g)
+    y = rng.randint(0, classes, n)
+    want = mutual_info_classif(x, y, n_neighbors=k, random_state=seed)
+    got = mi_classif(x, y, n_neighbors=k, random_state=seed)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_mi_ties_constants_and_singletons(rng):
+    """Duplicate raw values (dedup'd by the seeded noise), an all-constant
+    column, and a singleton class (its points are dropped exactly as
+    sklearn drops them)."""
+    x = np.round(rng.rand(80, 120), 1)
+    x[:, 3] = 5.0
+    y = rng.randint(0, 2, 80)
+    y[17] = 2  # singleton class
+    want = mutual_info_classif(x, y, n_neighbors=4, random_state=11)
+    got = mi_classif(x, y, n_neighbors=4, random_state=11)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_mi_masks_identical(rng):
+    """The downstream decision — mask = mi >= threshold * mean(mi)
+    (cohort._mutual_mask) — must be bit-identical for many thresholds."""
+    x = rng.rand(150, 800)
+    # plant informative features so mi has real spread
+    y = (x[:, :10].sum(1) + 0.2 * rng.randn(150) > 5.0).astype(int)
+    want = mutual_info_classif(x, y, n_neighbors=3, random_state=5)
+    got = mi_classif(x, y, n_neighbors=3, random_state=5)
+    for thr in (0.25, 0.5, 1.0, 1.5, 2.0):
+        np.testing.assert_array_equal(
+            got >= thr * got.mean(), want >= thr * want.mean(),
+            err_msg=f"thr={thr}",
+        )
