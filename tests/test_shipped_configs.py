@@ -1,0 +1,38 @@
+"""The three shipped cohort protocols (configs/{gbm,kirc,lgg}.yaml —
+semantically matched to reference config/*.yaml) run end-to-end through the
+real driver on a synthetic cohort.
+
+Guards config-field regressions: KIRC/LGG exercise pca_dim=3,
+reorder_pathway (the permute_take path), selected_similarity, pooling
+dims, lr schedule step=140, batch 64 — none of which the GBM-based tests
+touch.
+"""
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+from multilevel_gnn_tpu.core.config import Config
+from multilevel_gnn_tpu.data.synthetic import make_synthetic_cohort
+from multilevel_gnn_tpu.train.driver import run_experiment
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("cohort_name", ["gbm", "kirc", "lgg"])
+def test_shipped_config_runs(cohort_name):
+    cfg = Config.from_yaml(
+        os.path.join(REPO, "configs", f"{cohort_name}.yaml"),
+        num_run=1, epochs=2, batch_size=8,
+        # CPU test lane: the pallas backend needs a TPU (runtime falls
+        # back anyway); keep shapes small
+        kernel_backend="xla", spmm_bf16=False, compute_dtype=None,
+        windowed_spmm=False,
+    )
+    cohort = make_synthetic_cohort(cfg, seed=0, n_patients=40, n_pathways=6)
+    res = run_experiment(cfg, cohort)
+    e = res["check_epochs"][-1]
+    assert np.isfinite(res["auc"][e])
+    assert np.isfinite(res["acc"][e])
+    assert res["auc"][e] >= 0.0
