@@ -173,6 +173,33 @@ def _wait_for_tpu(max_tries=8, probe_timeout=150, sleep_s=30):
     return False
 
 
+def bench_fold_deriv():
+    """Host data-pipeline fold derivation at REFERENCE scale (146 pathways,
+    ~5.1k genes x 3 omics = 15.4k node slots, 400 patients): per-fold MI
+    mask (C++ kNN estimator) + per-pathway PCA + edge re-selection + graph
+    build.  BASELINE's 'data preprocessing time' anchor; the reference
+    pays ~22 s of sklearn MI alone per fold at this shape."""
+    from multilevel_gnn_tpu.core.config import Config
+    from multilevel_gnn_tpu.data.synthetic import make_synthetic_cohort
+
+    cfg = Config.from_yaml(
+        os.path.join(os.path.dirname(__file__), "configs", "gbm.yaml"),
+        num_run=1, epochs=1,
+    )
+    cohort = make_synthetic_cohort(
+        cfg, seed=2, n_patients=400, n_pathways=146, genes_per_pathway=38,
+        overlap=3, n_edges=60000,
+    )
+    import numpy as np
+
+    t0 = time.time()
+    cohort.fold(np.arange(320), fold_i=0)
+    cold = time.time() - t0
+    t0 = time.time()
+    cohort.fold(np.arange(10, 330), fold_i=1)
+    return cold, time.time() - t0
+
+
 def bench_cv():
     """Synthetic-cohort full CV through the real experiment driver (the
     round-1 670 s protocol: configs/gbm.yaml, 1 run x 5 folds x 10 epochs,
@@ -301,6 +328,19 @@ def main():
             )
     except Exception as e:
         print(f"cohort-topology step bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    # --- 2b. host fold derivation at reference scale (CPU-only, quick)
+    try:
+        cold, warm = bench_fold_deriv()
+        extras["fold_deriv_s"] = warm
+        print(
+            f"fold derivation (146 pathways, 15.4k slots, 400 patients): "
+            f"{cold:.2f} s cold / {warm:.2f} s warm",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"fold-deriv bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
     # --- 3. full CV through the driver (budget-gated)

@@ -36,10 +36,6 @@ static inline double skdist(double a, double b) {
   return std::sqrt(d * d);
 }
 
-struct Feature {
-  double mi;
-};
-
 // One feature: x (n,) values, y (n,) class codes in [0, n_classes),
 // counts per class precomputed.  digamma_tab[i] = scipy digamma(i).
 double mi_cd_one(const double* x, const int32_t* y, long n, int n_classes,
@@ -155,6 +151,104 @@ void mi_cd_batch(const double* x, long n, long g, const int32_t* y,
       out[f] = mi_cd_one(col.data(), y, n, n_classes, class_count.data(),
                          k_neighbors, digamma_tab, order, xs, ys, radius,
                          class_xs, kept_k);
+    }
+  };
+  std::vector<std::thread> threads;
+  long chunk = (g + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    long f0 = t * chunk, f1 = std::min<long>(g, f0 + chunk);
+    if (f0 >= f1) break;
+    threads.emplace_back(worker, f0, f1);
+  }
+  for (auto& th : threads) th.join();
+}
+
+// ---------------------------------------------------------------- //
+// Continuous-continuous Kraskov estimator (sklearn _compute_mi_cc, the
+// mutual_info_regression path): chebyshev kth-NN radius in the 2-D joint,
+// then marginal range counts.  Chebyshev = max(|dx|, |dy|) has no sqrt
+// rounding, so values are exact by construction.
+
+namespace {
+
+// count of sorted values v with |c - v| <= r, exact predicate inside a
+// conservative bracket (binary-search endpoints round differently)
+static inline long range_count(const std::vector<double>& v, double c,
+                               double r) {
+  double slack = 4e-16 * (std::abs(c) + r) + 1e-300;
+  long lo = std::lower_bound(v.begin(), v.end(), c - r - slack) - v.begin();
+  long hi = std::upper_bound(v.begin(), v.end(), c + r + slack) - v.begin();
+  long m = 0;
+  for (long t = lo; t < hi; ++t)
+    if (std::abs(c - v[t]) <= r) ++m;
+  return m;
+}
+
+double mi_cc_one(const double* x, const double* y, long n, int k,
+                 const double* digamma_tab, std::vector<int>& order,
+                 std::vector<double>& xs, std::vector<double>& ysv,
+                 std::vector<double>& ys_sorted, std::vector<double>& heap) {
+  order.resize(n);
+  for (long i = 0; i < n; ++i) order[i] = (int)i;
+  std::sort(order.begin(), order.end(),
+            [&](int a, int b) { return x[a] < x[b]; });
+  xs.resize(n);
+  ysv.resize(n);
+  for (long i = 0; i < n; ++i) {
+    xs[i] = x[order[i]];
+    ysv[i] = y[order[i]];
+  }
+  ys_sorted.assign(y, y + n);
+  std::sort(ys_sorted.begin(), ys_sorted.end());
+
+  double sum_dg_nx = 0.0, sum_dg_ny = 0.0;
+  for (long i = 0; i < n; ++i) {
+    // k smallest chebyshev distances via expansion in increasing |dx|
+    heap.clear();  // max at front (small k: linear insert)
+    long li = i - 1, ri = i + 1;
+    while (true) {
+      double dl = li >= 0 ? xs[i] - xs[li] : HUGE_VAL;
+      double dr = ri < n ? xs[ri] - xs[i] : HUGE_VAL;
+      double dx = std::min(dl, dr);
+      if (dx == HUGE_VAL) break;
+      if ((long)heap.size() >= k && dx >= heap.front()) break;
+      long j = dl <= dr ? li : ri;
+      if (dl <= dr) --li; else ++ri;
+      double d = std::max(dx, std::abs(ysv[i] - ysv[j]));
+      if ((long)heap.size() < k) {
+        heap.push_back(d);
+        std::sort(heap.rbegin(), heap.rend());
+      } else if (d < heap.front()) {
+        heap.front() = d;
+        std::sort(heap.rbegin(), heap.rend());
+      }
+    }
+    double r = std::nextafter(heap.front(), 0.0);
+    sum_dg_nx += digamma_tab[range_count(xs, xs[i], r)];
+    sum_dg_ny += digamma_tab[range_count(ys_sorted, ysv[i], r)];
+  }
+  double mi = digamma_tab[n] + digamma_tab[k] - sum_dg_nx / n -
+              sum_dg_ny / n;
+  return mi > 0.0 ? mi : 0.0;
+}
+
+}  // namespace
+
+// x: (n, g) row-major float64, y: (n,) float64 — both already scaled +
+// noised by the caller.  digamma_tab: (n + 1,).  out: (g,).
+void mi_cc_batch(const double* x, long n, long g, const double* y,
+                 int k_neighbors, const double* digamma_tab, double* out,
+                 int n_threads) {
+  if (n_threads <= 0)
+    n_threads = (int)std::max(1u, std::thread::hardware_concurrency());
+  n_threads = (int)std::min<long>(n_threads, g > 0 ? g : 1);
+  auto worker = [&](long f0, long f1) {
+    std::vector<double> col(n), xs, ysv, ys_sorted, heap;
+    std::vector<int> order;
+    for (long f = f0; f < f1; ++f) {
+      for (long i = 0; i < n; ++i) col[i] = x[i * g + f];
+      out[f] = mi_cc_one(col.data(), y, n, k_neighbors, digamma_tab, order,
+                         xs, ysv, ys_sorted, heap);
     }
   };
   std::vector<std::thread> threads;

@@ -339,15 +339,20 @@ class Cohort:
         y = self.labels()[train_idx]
         rs = cfg.random_state if cfg.freeze_mutual_select_init else None
         mi = None
-        if cfg.mutual_classif and cfg.native_mi:
-            # threaded C++ 1-D kNN MI (csrc/mi_knn.cc) — value-exact vs
+        if cfg.native_mi:
+            # threaded C++ kNN MI (csrc/mi_knn.cc) — value-exact vs
             # sklearn (same scale+noise preprocessing, scipy digamma
             # table; tests/test_native_mi.py), ~15x faster at cohort
             # scale (1.5 s vs 21.7 s for 400x15405)
             try:
-                from multilevel_gnn_tpu.data.native import mi_classif
+                from multilevel_gnn_tpu.data import native
 
-                mi = mi_classif(
+                fn = (
+                    native.mi_classif
+                    if cfg.mutual_classif
+                    else native.mi_regression
+                )
+                mi = fn(
                     x, y, n_neighbors=cfg.mutual_neighbors, random_state=rs
                 )
             except OSError:

@@ -116,6 +116,55 @@ def mi_classif(x, y, n_neighbors: int = 3, random_state=None, n_threads=0):
     return out
 
 
+def mi_regression(x, y, n_neighbors: int = 3, random_state=None,
+                  n_threads=0):
+    """sklearn.feature_selection.mutual_info_regression, value-exact, via
+    the threaded C++ Kraskov cc core (csrc/mi_knn.cc).  Chebyshev
+    distances have no sqrt rounding, so no brute-regime fallback is
+    needed (sklearn's brute chebyshev computes the same max|diff|)."""
+    import numpy as np
+    from scipy.special import digamma
+    from sklearn.preprocessing import scale
+    from sklearn.utils import check_random_state
+
+    lib = _lib()
+    lib.mi_cc_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int,
+    ]
+
+    x = np.asarray(x, np.float64).copy()
+    n, g = x.shape
+    # sklearn _estimate_mi preprocessing, same op order + same RNG draws:
+    # X noise first (n x g), then y noise (n)
+    rng = check_random_state(random_state)
+    x = scale(x, with_mean=False, copy=False)
+    means = np.maximum(1, np.mean(np.abs(x), axis=0))
+    x += 1e-10 * means * rng.standard_normal(size=(n, g))
+    y = scale(np.asarray(y, np.float64), with_mean=False)
+    y = y + 1e-10 * np.maximum(1, np.mean(np.abs(y))) * (
+        rng.standard_normal(size=n)
+    )
+
+    tab = np.ascontiguousarray(
+        digamma(np.maximum(np.arange(n + 1), 1).astype(np.float64))
+    )
+    x = np.ascontiguousarray(x)
+    y = np.ascontiguousarray(y)
+    out = np.empty(g, np.float64)
+    lib.mi_cc_batch(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n, g,
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        int(n_neighbors),
+        tab.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        int(n_threads),
+    )
+    return out
+
+
 def fill_node_features(values, col_slot, n_slots: int):
     """C++ scatter of (patients x cols) values into node-slot features —
     the hot loop of reference predefine_data (multiloader.py:949-971)."""

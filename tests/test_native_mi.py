@@ -57,3 +57,22 @@ def test_mi_masks_identical(rng):
             got >= thr * got.mean(), want >= thr * want.mean(),
             err_msg=f"thr={thr}",
         )
+
+
+@pytest.mark.parametrize(
+    "n,g,k,seed",
+    [(60, 200, 3, 0), (200, 400, 3, 7), (31, 77, 5, 3), (11, 40, 3, 1)],
+)
+def test_mi_regression_matches_sklearn(rng, n, g, k, seed):
+    """Continuous-target Kraskov estimator (mutual_info_regression);
+    chebyshev distances round identically in sklearn's kd_tree AND brute
+    regimes, so small-n cases stay on the native path."""
+    from sklearn.feature_selection import mutual_info_regression
+
+    from multilevel_gnn_tpu.data.native import mi_regression
+
+    x = rng.rand(n, g)
+    y = x[:, 0] * 0.5 + rng.randn(n)
+    want = mutual_info_regression(x, y, n_neighbors=k, random_state=seed)
+    got = mi_regression(x, y, n_neighbors=k, random_state=seed)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
