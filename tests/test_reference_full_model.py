@@ -906,3 +906,36 @@ def test_training_trajectory_vs_reference(rng):
     np.testing.assert_allclose(
         np.asarray(pred), want_pred.numpy(), rtol=2e-3, atol=2e-4
     )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "variant",
+    [
+        # resgnn needs final == hidden channels (the reference's residual
+        # add at :191-192 broadcasts only then; ours has the same shape
+        # constraint)
+        dict(resgnn=True, final_channels=64),
+        dict(repeat_mask=True, repeat_cyclic=1, repeat_norm=True),
+        dict(merge_mode="add", add_coef1=0.7, add_coef2=0.3),
+        dict(dense_gnn=True),
+    ],
+    ids=["resgnn", "repeat_mask_norm", "merge_add", "dense_gnn"],
+)
+def test_variant_modes_vs_reference(rng, variant):
+    """Non-default flagship modes vs the actual reference forward
+    (multilevel_gnn.py:184-211): residual stack, cyclic mask re-apply with
+    L2 re-norm, additive value-attention merge, dense feature concat."""
+    cfg = gbm_like_cfg().replace(**variant)
+    model, params, ctx, batch, ref, input_batch = build_fixture(rng, cfg)
+    pred, feat = jax.jit(
+        lambda p, b: model.apply(p, b, ctx, False)
+    )(params, batch)
+    with torch.no_grad():
+        want_pred, want_feat = ref(input_batch)
+    np.testing.assert_allclose(
+        np.asarray(feat), want_feat.detach().numpy(), rtol=5e-4, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred), want_pred.detach().numpy(), rtol=5e-4, atol=5e-5
+    )
