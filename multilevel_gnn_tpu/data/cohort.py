@@ -98,12 +98,19 @@ class Cohort:
         edges: Dict[int, List[Tuple[int, int]]],
         edge_attrs: Dict[int, List[float]],
         cfg: Config,
+        edges2: Optional[Dict[int, List[Tuple[int, int]]]] = None,
+        edge_attrs2: Optional[Dict[int, List[float]]] = None,
     ):
         self.cfg = cfg
         self.kegg = kegg
         self.pathways = list(pathways)
         self.edges = edges
         self.edge_attrs = edge_attrs
+        # secondary (GRN) edge set for edge_type='merge' (reference
+        # multiloader.py:62-64,68-69); fold-independent, built lazily
+        self.edges2 = edges2
+        self.edge_attrs2 = edge_attrs2
+        self._graph2_cache = None
 
         mrna = omics["mrna"].copy()
         cnv = omics["cnv"].copy()
@@ -555,6 +562,52 @@ class Cohort:
         dmi = fn(ed[:, 1:], y, random_state=rs)
         return pmi > cfg.edge_select_threshold * max(smi, dmi)
 
+    def merge_graph2(self, edge_bucket: int = 2048) -> Optional["Graph"]:
+        """Secondary GRN graph for edge_type='merge' (reference
+        process_grn_edge, multiloader.py:276-289): bidirectional edges in
+        GENE-index space — NOT the 3*gene+omics slot space the primary
+        edges use.  This is a preserved reference quirk: the merge list
+        branch feeds gene indices to a slot-indexed node tensor, so each
+        GRN edge lands on slot gene_idx (= gene gene_idx//3's omics
+        gene_idx%3).  Fold-independent, cached."""
+        if self.edges2 is None:
+            return None
+        if self._graph2_cache is not None:
+            return self._graph2_cache
+        cfg = self.cfg
+        nm = self.node_map
+        es, ats = [], []
+        for node_id in self.edges2:
+            for (s, d), a in zip(
+                self.edges2[node_id], self.edge_attrs2[node_id]
+            ):
+                if s in nm and d in nm:
+                    es.append([nm[s], nm[d]])
+                    ats.append([a])
+                    es.append([nm[d], nm[s]])
+                    ats.append([a])
+        if not es:
+            ei = np.zeros((2, 0), np.int32)
+            ea = np.zeros((0, 1), np.float32)
+        else:
+            ei = np.array(es, np.int32).T
+            ea = np.array(ats, np.float32)
+        g = Graph.from_edges(ei, ea, self.num_nodes)
+        if cfg.gnn_name.lower() in ("sage", "rsage", "gat"):
+            g = g.with_self_loops()
+        if edge_bucket:
+            g = g.pad_edges_to(
+                max(
+                    ((g.n_edges + edge_bucket - 1) // edge_bucket)
+                    * edge_bucket,
+                    edge_bucket,
+                )
+            )
+        g = g.with_sorted_meta()
+        g = dataclasses.replace(g, n_edges=g.num_padded_edges)
+        self._graph2_cache = g
+        return g
+
     def build_edges(
         self, info_mask: np.ndarray, train_idx: Optional[np.ndarray] = None
     ) -> Tuple[np.ndarray, np.ndarray, int]:
@@ -817,6 +870,10 @@ class Cohort:
         ctx = _dc.replace(
             ctx, pathway_adj=jnp.asarray(self._last_pathway_adj)
         )
+        if cfg.edge_type == "merge":
+            g2 = self.merge_graph2()
+            if g2 is not None:
+                ctx = _dc.replace(ctx, graph2=g2)
         log.info(
             "fold %d deriv: mi %.2fs pca %.2fs edges %.2fs graph+meta %.2fs "
             "ctx %.2fs", fold_i, _t_mi - _t0, _t_pca - _t_mi,

@@ -140,8 +140,12 @@ def load_cohort_from_files(
     edge_path: str,
     cfg: Config,
     ppi_node_path: Optional[str] = None,
+    grn_edge_path: Optional[str] = None,
 ) -> Cohort:
-    """Reference-format files -> Cohort (mirrors MyData.__init__ flow)."""
+    """Reference-format files -> Cohort (mirrors MyData.__init__ flow).
+
+    edge_type='merge' needs both PPI (edge_path + ppi_node_path) and GRN
+    (grn_edge_path) sources (reference multiloader.py:62-64)."""
     kegg = pd.read_csv(kegg_path)
     pathways = load_pathway_list(pathway_list_path)
 
@@ -174,10 +178,19 @@ def load_cohort_from_files(
     else:
         clinical = clin
 
+    edges2 = attrs2 = None
     if cfg.edge_type == "ppi":
         assert ppi_node_path is not None
         edges, attrs = parse_ppi_edges(ppi_node_path, edge_path, kegg, cfg)
+    elif cfg.edge_type == "merge":
+        # reference multiloader.py:62-64: PPI primary + GRN secondary
+        assert ppi_node_path is not None and grn_edge_path is not None
+        edges, attrs = parse_ppi_edges(ppi_node_path, edge_path, kegg, cfg)
+        edges2, attrs2 = parse_grnboost2_edges(grn_edge_path, kegg, cfg)
     else:
         edges, attrs = parse_grnboost2_edges(edge_path, kegg, cfg)
     cfg = cfg.replace(pathway_num=len(pathways))
-    return Cohort(omics, clinical, kegg, pathways, edges, attrs, cfg)
+    return Cohort(
+        omics, clinical, kegg, pathways, edges, attrs, cfg,
+        edges2=edges2, edge_attrs2=attrs2,
+    )

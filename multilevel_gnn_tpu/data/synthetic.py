@@ -74,8 +74,17 @@ def make_synthetic_cohort(cfg: Config, seed: int = 0, **kw) -> Cohort:
     omics, clinical, kegg, pathways, edges, edge_attrs = make_synthetic_tables(
         seed=seed, **kw
     )
+    edges2 = attrs2 = None
+    if cfg.edge_type == "merge":
+        # second (GRN-role) edge set for the edge-list merge mode
+        _, _, _, _, edges2, attrs2 = make_synthetic_tables(
+            seed=seed + 1000, **kw
+        )
     cfg = cfg.replace(pathway_num=len(pathways))
-    return Cohort(omics, clinical, kegg, pathways, edges, edge_attrs, cfg)
+    return Cohort(
+        omics, clinical, kegg, pathways, edges, edge_attrs, cfg,
+        edges2=edges2, edge_attrs2=attrs2,
+    )
 
 
 def write_reference_format(path: str, seed: int = 0, **kw) -> None:

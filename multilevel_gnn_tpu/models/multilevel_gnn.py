@@ -19,7 +19,6 @@ Everything is batched over patients with a single shared fold topology
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Tuple
 
 import jax
@@ -164,9 +163,8 @@ class MultilevelGNN(nn.Module):
             + [(cfg.hidden_channels, cfg.final_channels)]
         )
         n_layers = len(dims)
-        feature_list = []
-        for i, (in_ch, out_ch) in enumerate(dims):
-            layer = GraphConvLayer(
+        layers = [
+            GraphConvLayer(
                 in_ch,
                 out_ch,
                 conv=cfg.gnn_name,
@@ -178,6 +176,32 @@ class MultilevelGNN(nn.Module):
                 dtype=cdt,
                 name=f"gnn_{i}{suffix}",
             )
+            for i, (in_ch, out_ch) in enumerate(dims)
+        ]
+        if cfg.edge_type == "merge" and ctx.graph2 is not None:
+            # edge-list merge mode (reference :170-182): the SAME stack
+            # (shared weights) runs once per graph, UNWEIGHTED (the
+            # reference's list branch calls layer(x, edge_index) without
+            # edge_attr) and WITHOUT the per-layer residual/repeat-mask
+            # logic; per-graph features are concatenated (head width
+            # doubles downstream — the reference mutates
+            # args.final_channels *= 2 only for the conv-head dims, which
+            # our shape-lazy head derives automatically)
+            feats = []
+            for g in (ctx.graph, ctx.graph2):
+                h = x
+                for layer in layers:
+                    h = layer(h, g, None, training)
+                feats.append(h)
+            x = jnp.concatenate(feats, axis=-1)
+            if cfg.value_att_mask and apply_value_mask:
+                if cfg.merge_mode == "mult":
+                    x = x * mask_x[..., None]
+                else:
+                    x = cfg.add_coef1 * x + cfg.add_coef2 * mask_x[..., None]
+            return x
+        feature_list = []
+        for i, layer in enumerate(layers):
             if cfg.dense_gnn:
                 x = layer(x, ctx.graph, edge_attr, training)
                 feature_list.append(x)
@@ -270,16 +294,7 @@ class MultilevelGNN(nn.Module):
             h = x[..., None]
         if cfg.input_emb_drop is not None:
             h = nn.Dropout(cfg.input_emb_drop, deterministic=not training)(h)
-        if cfg.edge_type == "merge" and ctx.graph2 is not None:
-            # edge-list mode (reference :170-182): run the stack once per
-            # graph and concatenate features (head width doubles via the
-            # cfg.final_channels *= 2 adjustment at model build)
-            h1 = self.gnn_stack(h, mask_x, ctx, training, suffix="")
-            ctx2 = dataclasses.replace(ctx, graph=ctx.graph2)
-            h2 = self.gnn_stack(h, mask_x, ctx2, training, suffix="_g2")
-            h = jnp.concatenate([h1, h2], axis=-1)
-        else:
-            h = self.gnn_stack(h, mask_x, ctx, training)
+        h = self.gnn_stack(h, mask_x, ctx, training)
         xg = self.gather_pca_rows(h, ctx)
         if cfg.reduction_method == "linear_projection":
             image, _ = self.learnable_pca_image(xg, ctx)

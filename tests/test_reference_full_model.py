@@ -939,3 +939,77 @@ def test_variant_modes_vs_reference(rng, variant):
     np.testing.assert_allclose(
         np.asarray(pred), want_pred.detach().numpy(), rtol=5e-4, atol=5e-5
     )
+
+
+@pytest.mark.slow
+def test_merge_mode_semantics(rng):
+    """edge_type='merge' (the MultilevelGNNSeq edge-list mode, reference
+    :170-182).  The reference's own list branch is UNRUNNABLE: its plain
+    `layer(x, edge_index)` loop routes through GraphConv.forward
+    (torch_vertex.py:362-363), which always forwards edge_attr=None into
+    convs that either call edge_attr.dim() (SAGEConv :276) or don't
+    accept the kwarg (SemiGCNConv :323) — every conv raises into the bare
+    `except: pdb.set_trace()`.  We implement the evident intent
+    (documented in docs/PARITY.md) and pin its key semantics here:
+
+      1. weight sharing — ONE stack serves both graphs (no _g2 leaves);
+      2. unweighted aggregation — output invariant to edge_attr values;
+      3. doubled trunk width — the pathway image has 2*final channels;
+      4. both graphs contribute — muting graph2 changes the output.
+    """
+    import dataclasses as dc
+
+    cfg = gbm_like_cfg().replace(edge_type="merge")
+    edges = rng.randint(0, NODES, size=(2, E_RAND)).astype(np.int32)
+    attr = rng.rand(E_RAND, 1).astype(np.float32)
+    graph = Graph.from_edges(edges, attr, NODES).with_self_loops()
+    edges2 = rng.randint(0, NODES, size=(2, 4000)).astype(np.int32)
+    attr2 = rng.rand(4000, 1).astype(np.float32)
+    g2 = Graph.from_edges(edges2, attr2, NODES).with_self_loops()
+    gene_pca_match = rng.randint(-1, NODES, size=G_ROWS).astype(np.int32)
+    raw_indice = rng.randint(0, 3 * N_PATH, size=G_ROWS).astype(np.int32)
+    ctx = make_fold_context(
+        graph, gene_pca_match, raw_indice, n_pathways=N_PATH
+    )
+    ctx = dc.replace(ctx, graph2=g2)
+    x = rng.randn(B, NODES).astype(np.float32)
+    batch = Batch(
+        x=jnp.asarray(x),
+        y=jnp.zeros((B, 2), jnp.float32),
+        age=jnp.zeros(B, jnp.float32),
+        sample_mask=jnp.ones(B, bool),
+    )
+    model = MultilevelGNN(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch, ctx, False)
+
+    # 1. shared weights: exactly num_layers gnn_* leaves, no suffix copies
+    gnn_keys = [k for k in params["params"] if k.startswith("gnn_")]
+    assert sorted(gnn_keys) == [f"gnn_{i}" for i in range(cfg.num_layers)]
+
+    fwd = jax.jit(lambda p, b, c: model.apply(p, b, c, False))
+    pred, feat = fwd(params, batch, ctx)
+    assert np.isfinite(np.asarray(pred)).all()
+
+    # 3. trunk width doubles: image is (B, 2*final, P, 3*pca_dim)
+    assert feat.shape[1] == 2 * cfg.final_channels
+
+    # 2. unweighted: scaling every edge weight by 10 changes nothing
+    ctx_w = dc.replace(
+        ctx,
+        graph=dc.replace(graph, edge_attr=graph.edge_attr * 10.0),
+        graph2=dc.replace(g2, edge_attr=g2.edge_attr * 10.0),
+    )
+    pred_w, feat_w = fwd(params, batch, ctx_w)
+    np.testing.assert_allclose(
+        np.asarray(feat_w), np.asarray(feat), rtol=0, atol=0
+    )
+
+    # 4. graph2 contributes: replacing it with a self-loop-only graph
+    # changes the output
+    g2_empty = Graph.from_edges(
+        np.zeros((2, 0), np.int32), None, NODES
+    ).with_self_loops()
+    # pad to the same edge count so shapes stay static-compatible
+    g2_empty = g2_empty.pad_edges_to(g2.num_padded_edges)
+    pred_e, feat_e = fwd(params, batch, dc.replace(ctx, graph2=g2_empty))
+    assert not np.allclose(np.asarray(feat_e), np.asarray(feat))

@@ -36,3 +36,22 @@ def test_shipped_config_runs(cohort_name):
     assert np.isfinite(res["auc"][e])
     assert np.isfinite(res["acc"][e])
     assert res["auc"][e] >= 0.0
+
+
+@pytest.mark.slow
+def test_merge_edge_type_through_driver():
+    """edge_type='merge' end to end: the cohort builds the fold-independent
+    secondary GRN graph (Cohort.merge_graph2, reference process_grn_edge
+    :276-289 incl. its gene-index quirk) and the flagship trains on both
+    edge lists with a shared stack."""
+    cfg = Config.from_yaml(
+        os.path.join(REPO, "configs", "gbm.yaml"),
+        num_run=1, epochs=2, batch_size=8, edge_type="merge",
+        kernel_backend="xla", spmm_bf16=False, compute_dtype=None,
+        windowed_spmm=False,
+    )
+    cohort = make_synthetic_cohort(cfg, seed=3, n_patients=40, n_pathways=6)
+    assert cohort.edges2 is not None
+    res = run_experiment(cfg, cohort)
+    e = res["check_epochs"][-1]
+    assert np.isfinite(res["auc"][e])
