@@ -1,0 +1,233 @@
+"""MiNet — sparse-masked multi-omics Cox survival network.
+
+Re-implements reference models/minet.py:5-56 (``omics_net``) plus the parts
+of models/SparseCoding.py:9-130 it depends on, TPU-first.  The reference
+module is dead code in its repo (it imports a missing
+``Survival_CostFunc_CIndex`` module, SparseCoding.py:7) — we implement the
+evident intent so the model family is runnable here:
+
+  * ``omics -> gene -> pathway -> hidden -> hidden2 (+age) -> Cox`` linear
+    risk score, with the omics->gene and gene->pathway connections FORCED to
+    a biological sparsity pattern.  The reference rewrites the weight data
+    through a sparse-COO round trip every forward (minet.py:40-42,
+    SparseCoding.fixed_s_mask:25-34) — numerically that is ``w * mask``, so
+    here the mask is a static operand multiplied into the dense weight and
+    the matmul stays a single MXU pass (no scatter, no data-dependent
+    shapes).
+  * Sub-network (inverted) dropout via externally supplied binary node masks
+    ``do_m1``/``do_m2`` (minet.py:29-31,46-51): masks are inputs, not state,
+    so the train step stays functional/jittable.
+  * Cox negative partial log-likelihood + Harrell c-index — the missing
+    ``Survival_CostFunc_CIndex`` dependency, implemented in closed form on
+    the risk-set mask matrix (Breslow ties; O(B^2) mask matmul is one tiny
+    MXU op at cohort batch sizes).
+  * The sparse-coding phase (SparseCoding.sparse_func:89-130): soft-threshold
+    sparsification of the pathway/hidden weights with the sparsity level
+    chosen by cubic interpolation over a 5-point loss scan
+    (get_best_sparsity:65-71).  Host-side numpy/scipy over the param pytree
+    between jitted steps, like the reference runs it between optimizer steps.
+
+BatchNorm follows torch BatchNorm1d semantics (eps 1e-5, batch stats in
+training); the heads are plain f32 — this model family is tiny and never on
+the Pallas hot path.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from multilevel_gnn_tpu.nn.basic import xavier_uniform
+
+
+# ------------------------------------------------------------------ losses --
+def neg_partial_log_likelihood(pred, ytime, yevent, eps: float = 1e-8):
+    """Cox negative partial log-likelihood (Breslow ties).
+
+    The reference calls ``neg_par_log_likelihood(pred, ytime, yevent)`` from
+    the absent Survival_CostFunc_CIndex module (SparseCoding.py:7,120); this
+    is the standard closed form on the risk-set indicator matrix
+    R[i, j] = 1{ytime[j] >= ytime[i]}:
+
+        loss = -(1 / n_events) * sum_i yevent_i * (pred_i - log sum_j R_ij e^{pred_j})
+    """
+    pred = pred.reshape(-1).astype(jnp.float32)
+    ytime = ytime.reshape(-1)
+    yevent = yevent.reshape(-1).astype(jnp.float32)
+    risk = (ytime[None, :] >= ytime[:, None]).astype(jnp.float32)
+    # log-sum-exp over each risk set, max-subtracted for stability
+    m = jnp.max(pred)
+    lse = jnp.log(risk @ jnp.exp(pred - m) + eps) + m
+    n_events = jnp.maximum(jnp.sum(yevent), 1.0)
+    return -jnp.sum((pred - lse) * yevent) / n_events
+
+
+def concordance_index(pred, ytime, yevent) -> jnp.ndarray:
+    """Harrell's c-index: P(pred_i > pred_j | ytime_i < ytime_j, event_i).
+
+    Comparable pairs: i experienced the event and failed strictly earlier
+    than j's observed time.  Ties in prediction count 1/2.
+    """
+    pred = pred.reshape(-1)
+    ytime = ytime.reshape(-1)
+    yevent = yevent.reshape(-1).astype(jnp.float32)
+    comparable = (ytime[:, None] < ytime[None, :]) * yevent[:, None]
+    agree = (pred[:, None] > pred[None, :]).astype(jnp.float32)
+    tied = (pred[:, None] == pred[None, :]).astype(jnp.float32)
+    num = jnp.sum((agree + 0.5 * tied) * comparable)
+    den = jnp.maximum(jnp.sum(comparable), 1.0)
+    return num / den
+
+
+# ------------------------------------------------------------------- model --
+class _BN(nn.Module):
+    """torch BatchNorm1d parity (eps 1e-5, momentum 0.1, affine)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, training: bool):
+        return nn.BatchNorm(
+            use_running_average=not training,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+        )(x)
+
+
+class OmicsNet(nn.Module):
+    """Reference ``omics_net`` (minet.py:5-56).
+
+    Forward signature mirrors the reference: raw omics ``x`` (B, in_nodes),
+    clinical age ``age`` (B, 1), plus the two static connection masks and the
+    per-call sub-network dropout masks (``do_m1`` over pathway nodes, ``do_m2``
+    over hidden nodes — minet.py:46-51 applies them with inverted-dropout
+    scaling in training only).
+    """
+
+    in_nodes: int
+    gene_nodes: int
+    pathway_nodes: int
+    hidden_nodes: Sequence[int] = (64, 16)
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        age,
+        gene_mask,
+        pathway_mask,
+        do_m1=None,
+        do_m2=None,
+        drop_rate=(0.0, 0.0),
+        training: bool = False,
+    ):
+        h0, h1 = self.hidden_nodes
+
+        def masked_dense(name, n_out, h, mask):
+            # torch Linear weight (out, in) -> flax kernel (in, out); the
+            # reference zeroes non-connections every forward via a COO round
+            # trip (fixed_s_mask) == multiply by the binary mask.
+            k = self.param(f"{name}_kernel", xavier_uniform, (h.shape[-1], n_out))
+            b = self.param(f"{name}_bias", nn.initializers.zeros, (n_out,))
+            return h @ (k * mask.T.astype(k.dtype)) + b
+
+        h = masked_dense("omics", self.gene_nodes, x, gene_mask)
+        h = jax.nn.relu(_BN(self.gene_nodes, name="bn1")(h, training))
+        h = masked_dense("gene", self.pathway_nodes, h, pathway_mask)
+        h = jax.nn.relu(_BN(self.pathway_nodes, name="bn2")(h, training))
+        if training and do_m1 is not None:
+            h = h * do_m1 / (1.0 - drop_rate[0])
+        h = nn.Dense(h0, kernel_init=xavier_uniform, name="pathway")(h)
+        h = jax.nn.relu(_BN(h0, name="bn3")(h, training))
+        if training and do_m2 is not None:
+            h = h * do_m2 / (1.0 - drop_rate[1])
+        h = nn.Dense(h1, kernel_init=xavier_uniform, name="hidden")(h)
+        h = jax.nn.relu(_BN(h1, name="bn4")(h, training))
+        h = jnp.concatenate([h, age.reshape(-1, 1).astype(h.dtype)], axis=1)
+        # Cox layer: Linear(hidden+1 -> 1, bias=False) (minet.py:22)
+        lin_pred = nn.Dense(1, use_bias=False, kernel_init=xavier_uniform,
+                            name="hidden2")(h)
+        return lin_pred
+
+
+# ---------------------------------------------------------- sparse coding --
+def dropout_mask(rng: np.random.RandomState, n_node: int, drop_p: float):
+    """Binary keep-mask for sub-network selection (SparseCoding.py:9-24)."""
+    return rng.binomial(1, 1.0 - drop_p, size=n_node).astype(np.float32)
+
+
+def get_threshold(w: np.ndarray, mask: np.ndarray, sparsity: float) -> float:
+    """Cutoff so that (100 - sparsity)% of masked |w| survive
+    (SparseCoding.get_threshold:36-48)."""
+    pos = np.abs(w[mask.astype(bool)])
+    top_k = int(np.ceil(pos.size * (100.0 - sparsity) * 0.01))
+    top_k = max(min(top_k, pos.size), 1)
+    return float(np.sort(pos)[::-1][top_k - 1])
+
+
+def soft_threshold(w: np.ndarray, th: float) -> np.ndarray:
+    """sign(w) * max(|w| - th, 0) (SparseCoding.soft_threshold:50-57)."""
+    return np.sign(w) * np.clip(np.abs(w) - th, 0.0, None)
+
+
+def get_sparse_weight(w: np.ndarray, mask: np.ndarray, sparsity: float):
+    return soft_threshold(w, get_threshold(w, mask, sparsity))
+
+
+def get_best_sparsity(sparse_set, loss_set) -> float:
+    """Cubic-interpolated argmin of loss over sparsity levels
+    (SparseCoding.get_best_sparsity:65-71)."""
+    from scipy.interpolate import interp1d
+
+    sparse_set = np.asarray(sparse_set, dtype=np.float64)
+    loss_set = np.asarray(loss_set, dtype=np.float64)
+    order = np.argsort(sparse_set)
+    f = interp1d(sparse_set[order], loss_set[order], kind="cubic")
+    grid = np.linspace(sparse_set.min(), sparse_set.max(), 100)
+    return float(grid[np.argmin(f(grid))])
+
+
+def small_net_mask(w: np.ndarray, m_in: np.ndarray, m_out: np.ndarray):
+    """Mask locating weights inside the selected sub-network
+    (SparseCoding.small_net_mask:73-87).  ``w`` is (in, out) flax layout;
+    the active block is outer(m_in, m_out)."""
+    return (np.asarray(m_in).reshape(-1, 1) * np.asarray(m_out).reshape(1, -1)
+            ).astype(bool) & np.ones_like(w, dtype=bool)
+
+
+def sparse_func(params, loss_of_params, do_m1, do_m2, do_m3,
+                sparse_set=(99.0, 74.25, 49.5, 24.75, 0.0)):
+    """Sparse-coding phase (SparseCoding.sparse_func:89-130), functionally.
+
+    For each of the two interior weights (``pathway``: hidden<-pathway nodes,
+    ``hidden``: hidden2<-hidden nodes) restricted to the active sub-network
+    block, scan the 5 sparsity levels, score with ``loss_of_params`` (a
+    host-callable evaluating the Cox loss with candidate params), pick the
+    cubic-interpolated best level, and soft-threshold the active block in
+    place.  Returns a NEW param pytree (no mutation).
+    """
+    params = jax.tree_util.tree_map(np.asarray, params)
+
+    def update(name, m_in, m_out):
+        w = params["params"][name]["kernel"]
+        active = small_net_mask(w, m_in, m_out)
+        if not active.any():
+            return
+        losses = []
+        for s in sparse_set:
+            cand = get_sparse_weight(w, active, s)
+            trial = jax.tree_util.tree_map(np.copy, params)
+            trial["params"][name]["kernel"] = cand.astype(w.dtype)
+            losses.append(float(loss_of_params(trial)))
+        best = get_best_sparsity(sparse_set, losses)
+        sparse_w = soft_threshold(w, get_threshold(w, active, best))
+        new_w = np.where(active, sparse_w, w)
+        params["params"][name]["kernel"] = new_w.astype(w.dtype)
+
+    update("pathway", do_m1, do_m2)
+    update("hidden", do_m2, do_m3)
+    return params
