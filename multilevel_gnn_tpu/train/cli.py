@@ -15,6 +15,33 @@ import os
 import time
 
 
+def make_cohort(cfg, synthetic: bool, data_dir=None, debug: bool = False):
+    """Cohort construction shared by the train and predict CLIs."""
+    if synthetic:
+        from multilevel_gnn_tpu.data.synthetic import make_synthetic_cohort
+
+        return make_synthetic_cohort(
+            cfg,
+            seed=cfg.seed,
+            n_patients=60 if debug else 200,
+            n_pathways=6 if debug else 20,
+        )
+    from multilevel_gnn_tpu.data.loaders import load_cohort_from_files
+
+    d = data_dir or cfg.data_dir
+    ct = cfg.cancer_type
+    return load_cohort_from_files(
+        f"{d}/{ct}/raw_mrna.csv",
+        f"{d}/{ct}/raw_cnv.csv",
+        f"{d}/{ct}/raw_methylation.csv",
+        f"{d}/{ct}/clinical.pkl",
+        f"{d}/kegg.csv",
+        f"{d}/pathways.txt",
+        f"{d}/{ct}/grn_edges.tsv",
+        cfg,
+    )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
@@ -39,6 +66,12 @@ def main(argv=None):
     ap.add_argument(
         "--resume", action="store_true",
         help="resume an interrupted experiment from --ckpt-dir",
+    )
+    ap.add_argument(
+        "--fold-parallel", nargs="?", type=int, const=0, default=None,
+        metavar="DEVICES",
+        help="fold-vectorized CV: all (run, fold) units advance as one "
+             "vmapped step; optional device count shards the unit axis",
     )
     ap.add_argument("--set", nargs="*", default=[], help="key=value overrides")
     args = ap.parse_args(argv)
@@ -74,36 +107,25 @@ def main(argv=None):
         cfg = cfg.replace(ckpt_every=5)
     configure_backend(cfg)
 
-    if args.synthetic:
-        from multilevel_gnn_tpu.data.synthetic import make_synthetic_cohort
+    cohort = make_cohort(cfg, args.synthetic, args.data_dir, args.debug)
 
-        cohort = make_synthetic_cohort(
-            cfg,
-            seed=cfg.seed,
-            n_patients=60 if args.debug else 200,
-            n_pathways=6 if args.debug else 20,
+    if args.fold_parallel is not None:
+        if args.pretrain or args.ckpt_dir or args.resume or args.mesh:
+            ap.error("--fold-parallel is incompatible with --pretrain/"
+                     "--ckpt-dir/--resume/--mesh")
+        from multilevel_gnn_tpu.train.fold_parallel import (
+            run_experiment_foldparallel,
+        )
+
+        results = run_experiment_foldparallel(
+            cfg, cohort, devices=args.fold_parallel or None
         )
     else:
-        from multilevel_gnn_tpu.data.loaders import load_cohort_from_files
-
-        d = args.data_dir or cfg.data_dir
-        ct = cfg.cancer_type
-        cohort = load_cohort_from_files(
-            f"{d}/{ct}/raw_mrna.csv",
-            f"{d}/{ct}/raw_cnv.csv",
-            f"{d}/{ct}/raw_methylation.csv",
-            f"{d}/{ct}/clinical.pkl",
-            f"{d}/kegg.csv",
-            f"{d}/pathways.txt",
-            f"{d}/{ct}/grn_edges.tsv",
-            cfg,
+        results = run_experiment(
+            cfg, cohort, pretrain=args.pretrain,
+            pretrain_epochs=args.pretrain_epochs,
+            ckpt_dir=args.ckpt_dir, resume=args.resume,
         )
-
-    results = run_experiment(
-        cfg, cohort, pretrain=args.pretrain,
-        pretrain_epochs=args.pretrain_epochs,
-        ckpt_dir=args.ckpt_dir, resume=args.resume,
-    )
     final_e = results["check_epochs"][-1]
     print(
         json.dumps(

@@ -161,6 +161,43 @@ def _shared_fns(cfg: Config, cohort: Cohort, steps_per_epoch: int):
     return _FNS_CACHE[key]
 
 
+def fold_setup(cfg: Config, cohort: Cohort, train_idx, fold_i: int):
+    """Per-fold data derivation shared by training (run_fold) and offline
+    prediction (train/predict.py): fold recompute (MI masks / PCA / edges),
+    model-family node features, and the raw-data side channel.
+
+    Returns (cfg, fold, X, raw) with cfg's node counts filled in."""
+    gene_level = cfg.model in ("deepergcn",)
+    if gene_level:
+        # DeeperGCN rides the gene-level topology with pathway-vnode edges
+        # and per-pathway PCA attrs in batch.raw_data
+        fold = cohort.deepergcn_fold(np.asarray(train_idx), fold_i)
+        X = cohort.gene_level_features()
+        raw = fold.pathway_node_attr.astype(np.float32)
+        cfg = cfg.replace(
+            pathway_edge_num=max(getattr(cohort, "pathway_edge_num", 0), 1),
+            node_num=cohort.node_size + cohort.n_pathways,
+        )
+    else:
+        fold = cohort.fold(np.asarray(train_idx), fold_i)
+        cfg = cfg.replace(node_num=cohort.num_nodes // 3)
+        X = cohort.X
+        raw = (
+            fold.pathway_node_attr.astype(np.float32)
+            if cfg.model == "pathcnn" and not cfg.learnable_pca
+            else (
+                cohort.raw_datas[
+                    [cohort.pca_patients.index(p) for p in cohort.patients]
+                ].astype(np.float32)
+                if cfg.model == "pathcnn"
+                else None
+            )
+        )
+        if cfg.model == "pathcnn" and not cfg.learnable_pca:
+            raw = raw.reshape(len(cohort.patients), -1)
+    return cfg, fold, X, raw
+
+
 def run_fold(
     cfg: Config,
     cohort: Cohort,
@@ -182,36 +219,8 @@ def run_fold(
     def _mark(label):
         _marks.append((label, time.time()))
 
-    gene_level = cfg.model in ("deepergcn",)
-    if gene_level:
-        # DeeperGCN rides the gene-level topology with pathway-vnode edges
-        # and per-pathway PCA attrs in batch.raw_data
-        fold = cohort.deepergcn_fold(np.asarray(train_idx), fold_i)
-        X = cohort.gene_level_features()
-        raw = fold.pathway_node_attr.astype(np.float32)
-        _mark("cohort.fold")
-        cfg = cfg.replace(
-            pathway_edge_num=max(getattr(cohort, "pathway_edge_num", 0), 1),
-            node_num=cohort.node_size + cohort.n_pathways,
-        )
-    else:
-        fold = cohort.fold(np.asarray(train_idx), fold_i)
-        _mark("cohort.fold")
-        cfg = cfg.replace(node_num=cohort.num_nodes // 3)
-        X = cohort.X
-        raw = (
-            fold.pathway_node_attr.astype(np.float32)
-            if cfg.model == "pathcnn" and not cfg.learnable_pca
-            else (
-                cohort.raw_datas[
-                    [cohort.pca_patients.index(p) for p in cohort.patients]
-                ].astype(np.float32)
-                if cfg.model == "pathcnn"
-                else None
-            )
-        )
-        if cfg.model == "pathcnn" and not cfg.learnable_pca:
-            raw = raw.reshape(len(cohort.patients), -1)
+    cfg, fold, X, raw = fold_setup(cfg, cohort, train_idx, fold_i)
+    _mark("cohort.fold")
     ctx = fold.ctx
     if mesh is not None:
         from multilevel_gnn_tpu.parallel import shard_ctx
