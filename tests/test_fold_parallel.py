@@ -1,0 +1,69 @@
+"""Fold-vectorized CV (train/fold_parallel.py) == sequential driver.
+
+The whole num_run x 5-fold experiment advances as ONE vmapped train step
+(optionally sharded over a device mesh axis).  Same host RNG streams, same
+per-unit jax RNG, same best-by-valid selection — pooled metrics must match
+the sequential run_experiment.
+"""
+import numpy as np
+
+from multilevel_gnn_tpu.data.synthetic import make_synthetic_cohort
+from multilevel_gnn_tpu.train.driver import run_experiment
+from multilevel_gnn_tpu.train.fold_parallel import run_experiment_foldparallel
+
+from test_data_pipeline import gbm_like_cfg
+
+
+def _tiny_cfg(**kw):
+    base = dict(
+        epochs=2,
+        num_run=1,
+        batch_size=8,
+        split_shaffle=True,
+        split_seed=3,
+        node_embedding_dim=4,
+        hidden_channels=8,
+        final_channels=4,
+        head_dim=16,
+    )
+    base.update(kw)
+    return gbm_like_cfg(**base)
+
+
+def _check(seq, par):
+    e = seq["check_epochs"][-1]
+    for key in ("auc", "auc_by_loss", "auc_by_epoch", "acc"):
+        np.testing.assert_allclose(
+            par[key][e], seq[key][e], rtol=1e-5, atol=1e-6, err_msg=key
+        )
+
+
+def test_foldparallel_matches_sequential():
+    cfg = _tiny_cfg()
+    cohort = make_synthetic_cohort(cfg, seed=0, n_patients=50, n_pathways=5)
+    seq = run_experiment(cfg, cohort)
+    par = run_experiment_foldparallel(cfg, cohort)
+    assert par["units"] == 5
+    _check(seq, par)
+
+
+def test_foldparallel_sharded_over_mesh():
+    """unit axis sharded over 5 CPU devices == single-device vmap."""
+    cfg = _tiny_cfg()
+    cohort = make_synthetic_cohort(cfg, seed=0, n_patients=50, n_pathways=5)
+    par = run_experiment_foldparallel(cfg, cohort)
+    shd = run_experiment_foldparallel(cfg, cohort, devices=5)
+    e = par["check_epochs"][-1]
+    for key in ("auc", "auc_by_loss", "auc_by_epoch", "acc"):
+        np.testing.assert_allclose(shd[key][e], par[key][e], rtol=1e-6,
+                                   err_msg=key)
+
+
+def test_foldparallel_multi_run():
+    """2 runs x 5 folds = 10 lockstep units; run-level pooled stats match."""
+    cfg = _tiny_cfg(num_run=2)
+    cohort = make_synthetic_cohort(cfg, seed=0, n_patients=50, n_pathways=5)
+    seq = run_experiment(cfg, cohort)
+    par = run_experiment_foldparallel(cfg, cohort)
+    assert par["units"] == 10
+    _check(seq, par)

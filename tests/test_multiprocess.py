@@ -41,16 +41,27 @@ def _run(args, n_local):
 
 @pytest.mark.slow
 def test_two_process_step_matches_single_process(tmp_path):
-    port = 57991
+    # pid-derived port: two concurrent suite runs on one machine must not
+    # share a coordinator port (a collision wedges the gloo rendezvous)
+    port = 50000 + (os.getpid() % 9000)
     outs = [tmp_path / f"p{i}.txt" for i in range(2)]
     procs = [_run((i, 2, port, outs[i]), n_local=2) for i in range(2)]
-    for p in procs:
-        _, err = p.communicate(timeout=600)
-        assert p.returncode == 0, err[-3000:]
+    try:
+        for p in procs:
+            _, err = p.communicate(timeout=600)
+            assert p.returncode == 0, err[-3000:]
+    finally:
+        for p in procs:  # never leak a worker holding the port
+            if p.poll() is None:
+                p.kill()
 
     single = tmp_path / "single.txt"
-    p = _run((0, 1, port + 1, single), n_local=4)
-    _, err = p.communicate(timeout=600)
+    p = _run((0, 1, port + 2, single), n_local=4)
+    try:
+        _, err = p.communicate(timeout=600)
+    finally:
+        if p.poll() is None:
+            p.kill()
     assert p.returncode == 0, err[-3000:]
 
     vals = [
