@@ -51,3 +51,28 @@ def eval_scores(y: np.ndarray, pred: np.ndarray):
         y_true,
         score0,
     )
+
+
+def psnr(mse: float, peak: float = 1.0) -> float:
+    """Peak signal-to-noise ratio (reference utils/metrics.py:4-5; unused by
+    the reference training loop — kept for surface parity)."""
+    return float(10.0 * np.log10((peak ** 2) / mse))
+
+
+class AverageMeter:
+    """Running value/average tracker (reference utils/metrics.py:8-24)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / self.count

@@ -169,3 +169,17 @@ def test_step_timer_and_metric_stream(tmp_path):
 
     row = json.loads(open(tmp_path / "m.jsonl").read().strip())
     assert row["auc"] == 0.7 and "ts" in row
+
+
+def test_psnr_and_average_meter_match_reference():
+    """utils/metrics.py parity (PSNR formula, AverageMeter semantics)."""
+    from math import log10
+
+    from multilevel_gnn_tpu.train.metrics import AverageMeter, psnr
+
+    for mse, peak in ((0.01, 1.0), (0.5, 2.0)):
+        assert abs(psnr(mse, peak) - 10 * log10(peak ** 2 / mse)) < 1e-12
+    m = AverageMeter()
+    m.update(2.0)
+    m.update(4.0, n=3)
+    assert (m.val, m.sum, m.count, m.avg) == (4.0, 14.0, 4, 3.5)
