@@ -55,3 +55,29 @@ def test_merge_edge_type_through_driver():
     res = run_experiment(cfg, cohort)
     e = res["check_epochs"][-1]
     assert np.isfinite(res["auc"][e])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("cohort_name", ["kirc", "lgg"])
+def test_shipped_config_foldparallel_matches_sequential(cohort_name):
+    """Fold-vectorized CV on the KIRC/LGG protocols (pca_dim 3,
+    reorder_pathway permute_take, pooling dims — statics the GBM-based
+    fold-parallel tests don't touch) == the sequential driver."""
+    from multilevel_gnn_tpu.train.fold_parallel import (
+        run_experiment_foldparallel,
+    )
+
+    cfg = Config.from_yaml(
+        os.path.join(REPO, "configs", f"{cohort_name}.yaml"),
+        num_run=1, epochs=2, batch_size=8,
+        kernel_backend="xla", spmm_bf16=False, compute_dtype=None,
+        windowed_spmm=False,
+    )
+    cohort = make_synthetic_cohort(cfg, seed=0, n_patients=40, n_pathways=6)
+    seq = run_experiment(cfg, cohort)
+    par = run_experiment_foldparallel(cfg, cohort)
+    e = seq["check_epochs"][-1]
+    for key in ("auc", "auc_by_loss", "acc"):
+        np.testing.assert_allclose(
+            par[key][e], seq[key][e], rtol=1e-5, atol=1e-6, err_msg=key
+        )
