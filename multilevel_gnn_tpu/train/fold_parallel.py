@@ -9,7 +9,13 @@ FoldContext/Graph pytree STRUCTURALLY IDENTICAL — so the whole experiment
 can be stacked on a new leading 'unit' axis and driven by ONE vmapped train
 step:
 
-  * one chip: fewer dispatches, one executable for the entire experiment;
+  * one chip: fewer dispatches, one executable for the entire experiment.
+    This wins when the per-step work is small enough to be dispatch/
+    latency-bound — the shipped cohort protocols (measured on v5e,
+    2026-08-18: 200-patient GBM protocol 1.6x steady-state throughput,
+    2.3x wall).  At GBM-REAL scale (N=15405, E~165k) one chip is already
+    bandwidth-saturated and stacking LOSES (measured 0.60x at F=2) —
+    there, use `devices=` to spread units across chips instead;
   * a pod slice: shard the unit axis over the mesh — near-linear scaling
     with ZERO collectives (units never communicate), the ideal TPU regime.
 
