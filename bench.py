@@ -200,10 +200,14 @@ def bench_fold_deriv():
     return cold, time.time() - t0
 
 
-def bench_cv():
+def bench_cv(seed=0):
     """Synthetic-cohort full CV through the real experiment driver (the
     round-1 670 s protocol: configs/gbm.yaml, 1 run x 5 folds x 10 epochs,
-    200 patients, incl. per-fold host MI/PCA + compiles)."""
+    200 patients, incl. per-fold host MI/PCA + compiles).
+
+    seed: clock-derived by main() — a fixed cohort seed would replay the
+    axon tunnel's cross-process value cache (CLAUDE.md BENCH HONESTY) and
+    report elided times on reruns."""
     from multilevel_gnn_tpu.core.config import Config
     from multilevel_gnn_tpu.data.synthetic import make_synthetic_cohort
     from multilevel_gnn_tpu.train.driver import run_experiment
@@ -215,13 +219,13 @@ def bench_cv():
     )
     configure_backend(cfg)
     cohort = make_synthetic_cohort(
-        cfg, seed=cfg.seed, n_patients=200, n_pathways=20
+        cfg, seed=seed, n_patients=200, n_pathways=20
     )
     res = run_experiment(cfg, cohort)
     return res["wall_time_s"], res.get("epoch_s_median")
 
 
-def bench_cv_foldparallel():
+def bench_cv_foldparallel(seed=0):
     """Same protocol through the fold-vectorized driver: all 5 folds advance
     as one vmapped step (train/fold_parallel.py).  Steady-state epoch time
     covers ALL folds — measured 2026-08-18: ~0.85 s for 5 folds vs
@@ -239,7 +243,7 @@ def bench_cv_foldparallel():
     )
     configure_backend(cfg)
     cohort = make_synthetic_cohort(
-        cfg, seed=cfg.seed, n_patients=200, n_pathways=20
+        cfg, seed=seed, n_patients=200, n_pathways=20
     )
     res = run_experiment_foldparallel(cfg, cohort)
     return res["wall_time_s"], res.get("epoch_s_median")
@@ -372,7 +376,7 @@ def main():
     remaining = budget_s - (time.time() - t_start)
     if os.environ.get("MGTPU_BENCH_FAST") != "1" and remaining > 600:
         try:
-            cv_s, epoch_s = bench_cv()
+            cv_s, epoch_s = bench_cv(seed=seed)
             extras["cv_s"] = cv_s
             extras["epoch_s"] = epoch_s
             print(f"synthetic CV (1x5 folds, 10 epochs): {cv_s:.0f} s, "
@@ -388,7 +392,7 @@ def main():
     remaining = budget_s - (time.time() - t_start)
     if os.environ.get("MGTPU_BENCH_FAST") != "1" and remaining > 400:
         try:
-            fp_s, fp_epoch = bench_cv_foldparallel()
+            fp_s, fp_epoch = bench_cv_foldparallel(seed=seed)
             extras["cv_foldparallel_s"] = fp_s
             extras["epoch_foldparallel_s"] = fp_epoch
             print(

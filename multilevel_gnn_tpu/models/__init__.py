@@ -5,7 +5,6 @@ from multilevel_gnn_tpu.models.multilevel_gnn import MultilevelGNN  # noqa: F401
 def get_model(name: str):
     from multilevel_gnn_tpu.models import multilevel_gnn, pathcnn, deepergcn
     from multilevel_gnn_tpu.models import autoencoder, vae, vq_vae, multiomix
-    from multilevel_gnn_tpu.models import minet
 
     registry = {
         "multilevel_gnn": multilevel_gnn.MultilevelGNN,
@@ -20,8 +19,9 @@ def get_model(name: str):
         "vae": vae.VAE,
         "mmd_vae": vae.VAE,
         "vq_vae": vq_vae.VQVAE,
-        # not in the reference registry (models/minet.py is dead code there —
-        # missing Survival_CostFunc_CIndex dep); runnable here
-        "minet": minet.OmicsNet,
+        # models/minet.py (Cox survival) is intentionally NOT here: the
+        # reference registry also omits it, and its (x, age, masks) call
+        # protocol differs from the driver's (batch, ctx) contract — use
+        # multilevel_gnn_tpu.models.minet.OmicsNet directly
     }
     return registry[name]

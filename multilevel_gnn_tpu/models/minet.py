@@ -83,19 +83,11 @@ def concordance_index(pred, ytime, yevent) -> jnp.ndarray:
 
 
 # ------------------------------------------------------------------- model --
-class _BN(nn.Module):
-    """torch BatchNorm1d parity (eps 1e-5, momentum 0.1, affine)."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, x, training: bool):
-        return nn.BatchNorm(
-            use_running_average=not training,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=jnp.float32,
-        )(x)
+def _bn(name: str):
+    """torch BatchNorm1d parity (eps 1e-5, momentum 0.1, affine); pass
+    use_running_average at call time (False in training)."""
+    return nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
+                        name=name)
 
 
 class OmicsNet(nn.Module):
@@ -136,17 +128,17 @@ class OmicsNet(nn.Module):
             return h @ (k * mask.T.astype(k.dtype)) + b
 
         h = masked_dense("omics", self.gene_nodes, x, gene_mask)
-        h = jax.nn.relu(_BN(self.gene_nodes, name="bn1")(h, training))
+        h = jax.nn.relu(_bn("bn1")(h, use_running_average=not training))
         h = masked_dense("gene", self.pathway_nodes, h, pathway_mask)
-        h = jax.nn.relu(_BN(self.pathway_nodes, name="bn2")(h, training))
+        h = jax.nn.relu(_bn("bn2")(h, use_running_average=not training))
         if training and do_m1 is not None:
             h = h * do_m1 / (1.0 - drop_rate[0])
         h = nn.Dense(h0, kernel_init=xavier_uniform, name="pathway")(h)
-        h = jax.nn.relu(_BN(h0, name="bn3")(h, training))
+        h = jax.nn.relu(_bn("bn3")(h, use_running_average=not training))
         if training and do_m2 is not None:
             h = h * do_m2 / (1.0 - drop_rate[1])
         h = nn.Dense(h1, kernel_init=xavier_uniform, name="hidden")(h)
-        h = jax.nn.relu(_BN(h1, name="bn4")(h, training))
+        h = jax.nn.relu(_bn("bn4")(h, use_running_average=not training))
         h = jnp.concatenate([h, age.reshape(-1, 1).astype(h.dtype)], axis=1)
         # Cox layer: Linear(hidden+1 -> 1, bias=False) (minet.py:22)
         lin_pred = nn.Dense(1, use_bias=False, kernel_init=xavier_uniform,

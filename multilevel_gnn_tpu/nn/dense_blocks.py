@@ -137,7 +137,12 @@ class BasicConv(nn.Module):
                 else:
                     raise NotImplementedError(self.norm)
             if self.drop > 0 and training:
-                h = nn.Dropout(self.drop, deterministic=not training)(h)
+                # torch nn.Dropout2d semantics: drop whole channels per
+                # sample — broadcast the mask over the (N, k) spatial dims
+                h = nn.Dropout(
+                    self.drop, broadcast_dims=(1, 2),
+                    deterministic=not training,
+                )(h)
         return h.transpose(0, 3, 1, 2)
 
 

@@ -15,6 +15,20 @@ import os
 import time
 
 
+def parse_overrides(pairs):
+    """--set key=value pairs -> dict (JSON-decoded values where possible);
+    shared by the train and predict CLIs."""
+    overrides = {}
+    for kv in pairs:
+        k, v = kv.split("=", 1)
+        try:
+            v = json.loads(v)
+        except json.JSONDecodeError:
+            pass
+        overrides[k] = v
+    return overrides
+
+
 def make_cohort(cfg, synthetic: bool, data_dir=None, debug: bool = False):
     """Cohort construction shared by the train and predict CLIs."""
     if synthetic:
@@ -87,15 +101,7 @@ def main(argv=None):
 
     enable_compilation_cache()
 
-    overrides = {}
-    for kv in args.set:
-        k, v = kv.split("=", 1)
-        try:
-            v = json.loads(v)
-        except json.JSONDecodeError:
-            pass
-        overrides[k] = v
-    cfg = Config.from_yaml(args.config, **overrides)
+    cfg = Config.from_yaml(args.config, **parse_overrides(args.set))
     if args.debug:
         cfg = cfg.replace(num_run=1, epochs=5, batch_size=8)
     if args.mesh:

@@ -88,6 +88,7 @@ def run_experiment_foldparallel(
 
     devices: shard the unit axis over this many devices (must divide
     num_run*5); None = single-device vmap."""
+    t0 = time.time()  # same span as run_experiment: includes fold prep/init
     labels = cohort.labels()
     check_epochs = list(range(5, cfg.epochs + 1, 5)) or [cfg.epochs]
     outer = stratified_kfold(labels, 5, cfg.split_shaffle, cfg.split_seed)
@@ -115,12 +116,27 @@ def run_experiment_foldparallel(
     cfg = mcfg
 
     Y, ages = cohort.Y, cohort.ages
-    steps = [len(u.train_idx) // cfg.batch_size for u in units]
-    steps_per_epoch = max(min(steps), 1)
-    if len(set(steps)) > 1:
+    shuffle = not cfg.class_sample
+    drop_last = not (
+        cfg.class_sample or cfg.weighted_loss or cfg.batch_weighted_loss
+    )
+    # the LR schedule is keyed on floor(n/bs) like the sequential driver
+    # (run_fold:steps_per_epoch); the number of TRAIN batches consumed per
+    # epoch follows iter_batches' drop_last semantics (ceil when False)
+    steps_per_epoch = max(
+        min(len(u.train_idx) // cfg.batch_size for u in units), 1
+    )
+    n_batches = [
+        len(u.train_idx) // cfg.batch_size
+        if drop_last
+        else -(-len(u.train_idx) // cfg.batch_size)
+        for u in units
+    ]
+    train_batches = min(n_batches)
+    if len(set(n_batches)) > 1:
         log.warning(
-            "fold-parallel lockstep: ragged steps/epoch %s -> %d",
-            sorted(set(steps)), steps_per_epoch,
+            "fold-parallel lockstep: ragged train batches/epoch %s -> %d",
+            sorted(set(n_batches)), train_batches,
         )
     model, fns = _shared_fns(cfg, cohort, steps_per_epoch)
 
@@ -209,10 +225,6 @@ def run_experiment_foldparallel(
             fold.class_weight[labels[np.asarray(u.train_idx)]]
             if cfg.class_sample else None
         )
-    shuffle = not cfg.class_sample
-    drop_last = not (
-        cfg.class_sample or cfg.weighted_loss or cfg.batch_weighted_loss
-    )
     variation = (
         {"prob": cfg.random_variation_prob, "range": cfg.random_range}
         if cfg.random_variation_aug
@@ -263,7 +275,6 @@ def run_experiment_foldparallel(
             out.append((auc, acc, y_true, score0, float(np.mean(losses[i]))))
         return out
 
-    t0 = time.time()
     epoch_times: List[float] = []
     step_i = 0
     for epoch in range(1, cfg.epochs + 1):
@@ -276,7 +287,7 @@ def run_experiment_foldparallel(
             for i, u in enumerate(units)
             for (_, X_u, raw_u) in (fold_cache[u.fold_i],)
         ]
-        for _ in range(steps_per_epoch):
+        for _ in range(train_batches):
             batch = _stack([next(it) for it in iters])
             rngs = jax.vmap(lambda k: jax.random.fold_in(k, step_i))(rng_keys)
             params, opt_state, _ = vstep(

@@ -123,22 +123,14 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 
     from multilevel_gnn_tpu.core.config import Config
-    from multilevel_gnn_tpu.train.cli import make_cohort
+    from multilevel_gnn_tpu.train.cli import make_cohort, parse_overrides
     from multilevel_gnn_tpu.utils.runtime import (
         configure_backend,
         enable_compilation_cache,
     )
 
     enable_compilation_cache()
-    overrides = {}
-    for kv in args.set:
-        k, v = kv.split("=", 1)
-        try:
-            v = json.loads(v)
-        except json.JSONDecodeError:
-            pass
-        overrides[k] = v
-    cfg = Config.from_yaml(args.config, **overrides)
+    cfg = Config.from_yaml(args.config, **parse_overrides(args.set))
     if args.debug:
         cfg = cfg.replace(num_run=1, epochs=5, batch_size=8)
     configure_backend(cfg)

@@ -139,3 +139,22 @@ def test_basic_conv_batchnorm_training(cloud):
         ref_out = ref(torch.tensor(cloud))
     np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_basic_conv_dropout2d_channel_semantics(cloud):
+    """drop>0 in training uses torch Dropout2d semantics: whole channels
+    are zeroed per sample (review finding: elementwise dropout diverged)."""
+    model = dbl.BasicConv([C, 6], act=None, norm=None, drop=0.5)
+    x = jnp.asarray(cloud)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, True)
+    out = model.apply(variables, x, True,
+                      rngs={"dropout": jax.random.PRNGKey(7)})
+    out = np.asarray(out)  # (B, 6, N, k)
+    per_channel = out.reshape(out.shape[0], out.shape[1], -1)
+    zeroed = np.all(per_channel == 0, axis=-1)
+    nonzero_elems = np.abs(per_channel[~zeroed])
+    # every channel is either fully dropped or fully kept
+    assert zeroed.any(), "expected some dropped channels at rate 0.5"
+    assert (nonzero_elems > 0).mean() > 0.9  # kept channels keep their values

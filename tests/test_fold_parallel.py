@@ -67,3 +67,26 @@ def test_foldparallel_multi_run():
     par = run_experiment_foldparallel(cfg, cohort)
     assert par["units"] == 10
     _check(seq, par)
+
+
+def test_foldparallel_weighted_loss_matches_sequential():
+    """weighted_loss=True flips drop_last to False in the sequential driver
+    (ceil(n/bs) batches/epoch incl. a ragged masked batch) — the lockstep
+    loop must consume the same number of batches (review finding: it used
+    floor and silently diverged)."""
+    cfg = _tiny_cfg(weighted_loss=True, batch_size=6)  # 32 train -> 6 batches
+    cohort = make_synthetic_cohort(cfg, seed=0, n_patients=50, n_pathways=5)
+    seq = run_experiment(cfg, cohort)
+    par = run_experiment_foldparallel(cfg, cohort)
+    _check(seq, par)
+
+
+def test_foldparallel_zero_train_batches():
+    """batch_size > train split (kirc-style batch 64 on a tiny cohort):
+    the sequential driver runs 0 train steps/epoch; the lockstep loop must
+    do the same instead of raising StopIteration (review finding)."""
+    cfg = _tiny_cfg(batch_size=64, epochs=1)
+    cohort = make_synthetic_cohort(cfg, seed=0, n_patients=50, n_pathways=5)
+    seq = run_experiment(cfg, cohort)
+    par = run_experiment_foldparallel(cfg, cohort)
+    _check(seq, par)
