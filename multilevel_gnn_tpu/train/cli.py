@@ -116,15 +116,15 @@ def main(argv=None):
     cohort = make_cohort(cfg, args.synthetic, args.data_dir, args.debug)
 
     if args.fold_parallel is not None:
-        if args.pretrain or args.ckpt_dir or args.resume or args.mesh:
-            ap.error("--fold-parallel is incompatible with --pretrain/"
-                     "--ckpt-dir/--resume/--mesh")
+        if args.pretrain or args.mesh:
+            ap.error("--fold-parallel is incompatible with --pretrain/--mesh")
         from multilevel_gnn_tpu.train.fold_parallel import (
             run_experiment_foldparallel,
         )
 
         results = run_experiment_foldparallel(
-            cfg, cohort, devices=args.fold_parallel or None
+            cfg, cohort, devices=args.fold_parallel or None,
+            ckpt_dir=args.ckpt_dir, resume=args.resume,
         )
     else:
         results = run_experiment(

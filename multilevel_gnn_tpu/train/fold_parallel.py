@@ -83,11 +83,19 @@ def run_experiment_foldparallel(
     cfg: Config,
     cohort: Cohort,
     devices: Optional[int] = None,
+    ckpt_dir: Optional[str] = None,
+    resume: bool = False,
 ) -> Dict:
     """Fold-vectorized equivalent of driver.run_experiment.
 
     devices: shard the unit axis over this many devices (must divide
-    num_run*5); None = single-device vmap."""
+    num_run*5); None = single-device vmap.
+
+    ckpt_dir + cfg.ckpt_every>0: per-unit checkpoints in the SAME on-disk
+    layout as the sequential driver (run{r}_fold{f}/step_E + host state),
+    so mgtpu-predict reads them unchanged.  resume=True restarts at the
+    latest epoch every unit has a checkpoint for (lockstep: the minimum
+    across units) with exact per-unit host RNG state."""
     t0 = time.time()  # same span as run_experiment: includes fold prep/init
     labels = cohort.labels()
     check_epochs = list(range(5, cfg.epochs + 1, 5)) or [cfg.epochs]
@@ -163,6 +171,55 @@ def run_experiment_foldparallel(
         ctx_l.append(fold.ctx)
         cw_l.append(jnp.asarray(fold.class_weight, jnp.float32))
         rng_l.append(rng_key)
+    # ---- host-side per-unit loop state (mirrors run_fold's `results`) ----
+    results = [
+        {
+            "highest_valid": -1.0,
+            "highest_valid_loss": 100.0,
+            "result_y": None,
+            "result_y_by_loss": None,
+            "epoch": {},
+            "epoch_by_loss": {},
+            "epoch_by_epoch": {},
+        }
+        for _ in units
+    ]
+    y_true_test: List = [None] * F
+    np_rngs = [
+        np.random.RandomState(cfg.seed + 1000 * u.run_i + u.fold_i)
+        for u in units
+    ]
+    start_epoch = 1
+    step_i = 0
+    if ckpt_dir is not None and resume:
+        import os
+
+        from multilevel_gnn_tpu.train import checkpoint as C
+
+        tags = [
+            os.path.join(ckpt_dir, f"run{u.run_i}_fold{u.fold_i}")
+            for u in units
+        ]
+        lasts = [C.latest_step(t) for t in tags]
+        if all(last is not None for last in lasts):
+            epoch0 = min(lasts)  # lockstep: min common checkpointed epoch
+            for i, tag in enumerate(tags):
+                tree, _ = C.load_checkpoint(
+                    tag, {"params": params_l[i], "opt_state": opt_l[i]},
+                    epoch0,
+                )
+                params_l[i], opt_l[i] = tree["params"], tree["opt_state"]
+                host = np.load(
+                    os.path.join(tag, f"step_{epoch0}.host.npy"),
+                    allow_pickle=True,
+                ).item()
+                results[i] = host["results"]
+                y_true_test[i] = host["y_true_test"]
+                step_i = host["step_i"]
+                np_rngs[i].set_state(host["np_rng_state"])
+            start_epoch = epoch0 + 1
+            log.info("fold-parallel resumed %d units at epoch %d", F, epoch0)
+
     params, opt_state = _stack(params_l), _stack(opt_l)
     ctx = _stack(ctx_l)
     class_weight = _stack(cw_l)
@@ -200,24 +257,6 @@ def run_experiment_foldparallel(
     vstep = jax.jit(_step)
     veval = jax.jit(_eval)
 
-    # ---- host-side per-unit loop state (mirrors run_fold's `results`) ----
-    results = [
-        {
-            "highest_valid": -1.0,
-            "highest_valid_loss": 100.0,
-            "result_y": None,
-            "result_y_by_loss": None,
-            "epoch": {},
-            "epoch_by_loss": {},
-            "epoch_by_epoch": {},
-        }
-        for _ in units
-    ]
-    y_true_test: List = [None] * F
-    np_rngs = [
-        np.random.RandomState(cfg.seed + 1000 * u.run_i + u.fold_i)
-        for u in units
-    ]
     sampler_weights = []
     for u in units:
         fold, _, _ = fold_cache[u.fold_i]
@@ -276,8 +315,7 @@ def run_experiment_foldparallel(
         return out
 
     epoch_times: List[float] = []
-    step_i = 0
-    for epoch in range(1, cfg.epochs + 1):
+    for epoch in range(start_epoch, cfg.epochs + 1):
         epoch_t0 = time.time()
         iters = [
             iter_batches(
@@ -324,6 +362,38 @@ def run_experiment_foldparallel(
             "fold-parallel epoch %d (%d units): %.2fs", epoch, F,
             epoch_times[-1],
         )
+        if ckpt_dir is not None and cfg.ckpt_every > 0 and (
+            epoch % cfg.ckpt_every == 0
+        ):
+            import os
+
+            from multilevel_gnn_tpu.train import checkpoint as C
+
+            # unstack to host once, save per unit in the sequential
+            # driver's layout (readable by train/predict.py)
+            params_h = jax.tree_util.tree_map(np.asarray, params)
+            opt_h = jax.tree_util.tree_map(np.asarray, opt_state)
+            for i, u in enumerate(units):
+                take = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                    lambda x: x[i], t
+                )
+                tag = os.path.join(ckpt_dir, f"run{u.run_i}_fold{u.fold_i}")
+                C.save_checkpoint(
+                    tag, take(params_h), take(opt_h),
+                    loop_state={"run": u.run_i, "fold": u.fold_i,
+                                "epoch": epoch},
+                    step=epoch,
+                )
+                np.save(
+                    os.path.join(tag, f"step_{epoch}.host.npy"),
+                    {
+                        "results": results[i],
+                        "y_true_test": y_true_test[i],
+                        "step_i": step_i,
+                        "np_rng_state": np_rngs[i].get_state(),
+                    },
+                    allow_pickle=True,
+                )
 
     # ---- pooled check-epoch aggregation (mirrors run_experiment) ----
     agg = {

@@ -90,3 +90,31 @@ def test_foldparallel_zero_train_batches():
     seq = run_experiment(cfg, cohort)
     par = run_experiment_foldparallel(cfg, cohort)
     _check(seq, par)
+
+
+def test_foldparallel_checkpoint_resume_and_predict(tmp_path):
+    """Checkpointed fold-parallel run resumed after an interruption ==
+    the uninterrupted run; its per-unit checkpoints are readable by the
+    predict entrypoint (same on-disk layout as the sequential driver)."""
+    from multilevel_gnn_tpu.train.predict import predict_fold
+
+    cfg = _tiny_cfg(epochs=4, ckpt_every=1)
+    cohort = make_synthetic_cohort(cfg, seed=0, n_patients=50, n_pathways=5)
+    full = run_experiment_foldparallel(cfg, cohort,
+                                       ckpt_dir=str(tmp_path / "a"))
+
+    # "interrupt" after epoch 2, then resume to epoch 4 from the same dir
+    run_experiment_foldparallel(cfg.replace(epochs=2), cohort,
+                                ckpt_dir=str(tmp_path / "b"))
+    resumed = run_experiment_foldparallel(cfg, cohort,
+                                          ckpt_dir=str(tmp_path / "b"),
+                                          resume=True)
+    e = full["check_epochs"][-1]
+    for key in ("auc", "auc_by_loss", "auc_by_epoch", "acc"):
+        np.testing.assert_allclose(resumed[key][e], full[key][e],
+                                   rtol=1e-6, err_msg=key)
+
+    # the fold-parallel checkpoints serve predictions directly
+    res = predict_fold(cfg, cohort, str(tmp_path / "a"), run_i=0, fold_i=1,
+                       split="test")
+    assert len(res["prob"]) > 0 and 0.0 <= res["auc"] <= 1.0
