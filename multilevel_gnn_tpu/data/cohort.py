@@ -342,7 +342,13 @@ class Cohort:
                 self._mask_cache[fold] = hit
                 return hit
         pos = [self.pca_patients.index(self.patients[i]) for i in train_idx]
-        x = self.raw_datas[pos]
+        # reference quirk PRESERVED: generate_mutual_mask tensorizes the
+        # raw float64 feature lists with torch.tensor(x) -> DEFAULT f32
+        # (reference multilevel_gnn.py:354), so the MI estimator sees
+        # f32-rounded values (sklearn then upcasts f64 internally).  2/216
+        # mask bits flip on the tiny oracle fixture without this
+        # (tests/test_reference_pipeline_oracle.py::test_mutual_mask_and_mi).
+        x = self.raw_datas[pos].astype(np.float32)
         y = self.labels()[train_idx]
         rs = cfg.random_state if cfg.freeze_mutual_select_init else None
         mi = None

@@ -89,13 +89,54 @@ def make_synthetic_cohort(cfg: Config, seed: int = 0, **kw) -> Cohort:
 
 def write_reference_format(path: str, seed: int = 0, **kw) -> None:
     """Write the synthetic cohort to disk in the reference CSV/TSV layout
-    (reference opt.py:19-57 path flags) for loader round-trip tests."""
+    (reference opt.py:19-57 path flags) for loader round-trip tests AND for
+    executing the actual reference ``MyData`` loader as a value oracle
+    (tests/test_reference_pipeline_oracle.py).  Beyond the omics/clinical/
+    kegg/edge files our own loaders read, the reference also needs
+    (multiloader.py:55-57, 227-233): ``pathways.pkl`` (args.pathway_path),
+    a STRING-style node CSV (args.node_path, parsed but unused on the
+    grnboost2 branch), the ordered-pathway workbook read at the relative
+    path ``./data/ordered_pathway_146_2pc.xlsx`` (written here as ``.csv``
+    next to it — the oracle test monkeypatches ``pd.read_excel`` since
+    openpyxl isn't installed), and the two KEGG ``.gmt`` gene-set files
+    ``./data/c2.cp.kegg.v5.2.{symbols,entrez}.gmt``."""
     import os
+    import pickle as _pickle
 
     omics, clinical, kegg, pathways, edges, edge_attrs = make_synthetic_tables(
         seed=seed, **kw
     )
     os.makedirs(path, exist_ok=True)
+    os.makedirs(f"{path}/data", exist_ok=True)
+    with open(f"{path}/pathways.pkl", "wb") as f:
+        _pickle.dump(list(pathways), f)
+    # STRING node table (multiloader.py:182, 226): grnboost2 only parses it
+    pd.DataFrame(
+        {
+            "@id": [f"stringdb:9606.ENSP{int(e):07d}" for e in kegg["Entrezid"]],
+            "query term": kegg["Symbol"],
+            "stringdb::node type": "protein",
+        }
+    ).drop_duplicates().to_csv(f"{path}/node.csv", index=False)
+    # ordered-pathway list (multiloader.py:230 reads the .xlsx twin)
+    pd.DataFrame({0: list(pathways)}).to_csv(
+        f"{path}/data/ordered_pathway_146_2pc.csv", index=False, header=False
+    )
+    sym_by_path = kegg.groupby("PathwayID", sort=False)
+    with open(f"{path}/data/c2.cp.kegg.v5.2.symbols.gmt", "w") as fs, open(
+        f"{path}/data/c2.cp.kegg.v5.2.entrez.gmt", "w"
+    ) as fe:
+        for p in pathways:
+            grp = sym_by_path.get_group(p)
+            fs.write(
+                "\t".join([f"KEGG_{p}", "na"] + grp["Symbol"].tolist()) + "\n"
+            )
+            fe.write(
+                "\t".join(
+                    [f"KEGG_{p}", "na"] + [str(int(e)) for e in grp["Entrezid"]]
+                )
+                + "\n"
+            )
     omics["mrna"].to_csv(f"{path}/raw_mrna.csv")
     omics["cnv"].to_csv(f"{path}/raw_cnv.csv")
     omics["methylation"].to_csv(f"{path}/raw_methylation.csv")

@@ -474,5 +474,21 @@ def install():
     sys.modules["torch_geometric.data"] = tg_data
     sys.modules["torch_cluster"] = tc
 
+    # Deps the reference imports at module top but never exercises on the
+    # paths under test: cvxopt (utils/knnie.py:13 — only the unused
+    # _solve_lp helpers touch it) and torchvision (multiloader.py:22 —
+    # transforms are never instantiated).  matplotlib IS installed.
+    if "cvxopt" not in sys.modules:
+        cv = types.ModuleType("cvxopt")
+        cv.matrix = None
+        cv.solvers = types.SimpleNamespace()
+        sys.modules["cvxopt"] = cv
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_t = types.ModuleType("torchvision.transforms")
+        tv.transforms = tv_t
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv_t
+
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
