@@ -81,6 +81,10 @@ class Config:
     num_layer_head: int = 1
     use_age: bool = False
     head_dropout: bool = False
+    # the flagship head's dropout is HARDCODED 0.5 in the reference
+    # (multilevel_gnn.py:116,125); parameterized here (default = reference)
+    # so deterministic parity tests can zero it on both sides
+    head_drop_rate: float = 0.5
     use_edge_attr: bool = False
     pathway_readout: str = "maxpool"
     gnn_encoder: str = "linear"

@@ -113,7 +113,7 @@ class ConvHead(nn.Module):
             h = jnp.concatenate([h, age[:, None]], axis=-1)
         h = Linear(cfg.head_dim, kernel_init=xavier_uniform, name="head_0")(h)
         h = jax.nn.relu(h)
-        h = nn.Dropout(0.5, deterministic=not training)(h)
+        h = nn.Dropout(cfg.head_drop_rate, deterministic=not training)(h)
         h = Linear(2, kernel_init=xavier_uniform, name="head_1")(h)
         return jax.nn.softmax(h, axis=-1)
 

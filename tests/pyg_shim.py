@@ -460,6 +460,10 @@ def install():
     tg_data.Data = Data
     tg_data.InMemoryDataset = InMemoryDataset
     tg_data.extract_zip = extract_zip
+    # reference train.py:17 imports it; the full-stack trajectory test
+    # builds its own sequential loaders instead (torch shuffle RNG is the
+    # one intentional divergence), so a placeholder suffices
+    tg_data.DataLoader = None
     tg.nn = tg_nn
     tg.utils = tg_utils
     tg.data = tg_data

@@ -40,7 +40,7 @@ import pyg_shim
 
 pyg_shim.install()
 
-import opt as ref_opt  # noqa: E402  (reference /root/reference/opt.py)
+from ref_pipeline import run_reference_pipeline  # noqa: E402
 
 from multilevel_gnn_tpu.core.config import Config  # noqa: E402
 from multilevel_gnn_tpu.data.loaders import load_cohort_from_files  # noqa: E402
@@ -89,101 +89,21 @@ SHARED = dict(
 )
 
 
-class _SerialPool:
-    """In-process stand-in for multiprocessing.Pool (multiloader.py:293).
-    The reference merges per-worker dicts serially, so execution order is
-    immaterial; forking the test process (JAX loaded) is not."""
-
-    class _Res:
-        def __init__(self, v):
-            self._v = v
-
-        def get(self):
-            return self._v
-
-    def apply_async(self, fn, args):
-        return self._Res(fn(*args))
-
-    def close(self):
-        pass
-
-    def join(self):
-        pass
-
-
 @pytest.fixture(scope="module")
 def oracle(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("refpipe"))
-    write_reference_format(
-        d, seed=5, n_patients=N_PATIENTS, n_pathways=N_PATH,
-        genes_per_pathway=GPP, overlap=OVERLAP, n_edges=N_EDGES,
+    overrides = dict(SHARED, pathway_num=N_PATH)
+    ref = run_reference_pipeline(
+        d, overrides,
+        dict(seed=5, n_patients=N_PATIENTS, n_pathways=N_PATH,
+             genes_per_pathway=GPP, overlap=OVERLAP, n_edges=N_EDGES),
     )
-
-    # ---- reference side: real argparse defaults + the shared protocol ----
-    args = ref_opt.parser.parse_args([])
-    for k, v in SHARED.items():
-        setattr(args, k, v)
-    args.pathway_num = N_PATH
-    args.grn_edge_path = f"{d}/grn_edges.tsv"
-    args.pathway_path = f"{d}/pathways.pkl"
-
-    import dataloader.multiloader as ml
-
-    cwd = os.getcwd()
-    real_read_excel = pd.read_excel
-    real_pool = ml.Pool
-    real_index_and = pd.Index.__and__
-    pd.read_excel = lambda p, header=None: pd.read_csv(
-        p.replace(".xlsx", ".csv"), header=header
+    dataset, train_idx = ref["dataset"], ref["train_idx"]
+    mask, mi = ref["mask"], ref["mi"]
+    edges, edge_attrs = ref["edges"], ref["edge_attrs"]
+    gene_pca_match, weight, labels = (
+        ref["gene_pca_match"], ref["weight"], ref["labels"]
     )
-    ml.Pool = _SerialPool
-    # the reference targets pandas 1.x where `Index & Index` is set
-    # intersection (multiloader.py:131); pandas 2.x made it elementwise
-    pd.Index.__and__ = lambda self, other: self.intersection(other)
-    try:
-        os.chdir(d)  # multiloader reads ./data/*.gmt|xlsx relative paths
-        dataset = ml.MyData(
-            f"{d}/raw_mrna.csv",
-            f"{d}/raw_cnv.csv",
-            f"{d}/raw_methylation.csv",
-            f"{d}/node.csv",
-            f"{d}/grn_edges.tsv",
-            f"{d}/kegg.csv",
-            f"{d}/clinical.pkl",
-            args,
-        )
-        args.node_num = dataset.get_node_num()
-        args.omics_num = len(dataset.omics_types)
-
-        # train.py:290-299 fold derivation, fold 0 of run 0
-        from sklearn.model_selection import StratifiedKFold
-
-        labels = dataset.get_labels()
-        skf = StratifiedKFold(5, shuffle=True, random_state=args.split_seed)
-        all_idxs = np.arange(len(labels))
-        tune, test_idx = next(iter(skf.split(all_idxs, labels)))
-        skf2 = StratifiedKFold(5, shuffle=True, random_state=args.split_seed)
-        tr, va = next(iter(skf2.split(tune, labels[tune])))
-        train_idx, valid_idx = tune[tr], tune[va]
-
-        from models.multilevel_gnn import MultilevelGNN as RefModel
-
-        model = RefModel(args)
-        model.set_pathway_indexs(dataset.all_indice)
-        x, y = dataset.get_data_by_indice(train_idx)
-        mask, mi = model.generate_mutual_mask(
-            x, y, args.mutual_classif, 0, dataset.get_tf_token()
-        )
-        dataset.recalculate_pca_bo_selected_gene(mask)
-        edges, edge_attrs, gene_pca_match = (
-            dataset.recalculate_edge_bo_selected_gene(mask, train_idx)
-        )
-        weight = dataset.get_weight_balance(train_idx)
-    finally:
-        os.chdir(cwd)
-        pd.read_excel = real_read_excel
-        ml.Pool = real_pool
-        pd.Index.__and__ = real_index_and
 
     # ---- our side: same files through the public loader + Cohort ----
     cfg = Config(epochs=2, num_run=1, **SHARED)
