@@ -260,6 +260,7 @@ class Config:
     # value-exact vs sklearn mutual_info_classif); False forces sklearn
     native_mi: bool = True
     ckpt_every: int = 0  # save {params,opt_state,loop} every N epochs (0=off)
+    ckpt_keep: int = 0  # retain only the newest N complete checkpoints (0=all)
     pathway_edge_num: int = 0  # set by the data pipeline (onehot edge count)
 
     def replace(self, **kw) -> "Config":

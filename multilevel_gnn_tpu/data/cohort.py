@@ -330,8 +330,12 @@ class Cohort:
             from multilevel_gnn_tpu.data.cache import PreprocessCache, content_key
 
             disk = PreprocessCache("./data_cache")
+            # 'v2f32' = estimator-schema version: v2 feeds the estimator
+            # f32-rounded features (the reference torch.tensor quirk below).
+            # Bumping the token invalidates caches written by the earlier
+            # f64 code path so stale masks are never silently served.
             key = content_key(
-                "mi_mask", cfg.cancer_type,
+                "mi_mask", "v2f32", cfg.cancer_type,
                 tuple(self.patients[i] for i in train_idx),
                 cfg.mutual_neighbors, cfg.mutual_classif,
                 cfg.random_state if cfg.freeze_mutual_select_init else None,

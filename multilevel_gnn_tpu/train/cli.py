@@ -87,13 +87,17 @@ def main(argv=None):
         help="fold-vectorized CV: all (run, fold) units advance as one "
              "vmapped step; optional device count shards the unit axis",
     )
+    ap.add_argument(
+        "--profile-dir", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the whole experiment "
+             "(view in TensorBoard/Perfetto)",
+    )
     ap.add_argument("--set", nargs="*", default=[], help="key=value overrides")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 
     from multilevel_gnn_tpu.core.config import Config
-    from multilevel_gnn_tpu.train.driver import run_experiment
     from multilevel_gnn_tpu.utils.runtime import (
         configure_backend,
         enable_compilation_cache,
@@ -115,23 +119,15 @@ def main(argv=None):
 
     cohort = make_cohort(cfg, args.synthetic, args.data_dir, args.debug)
 
-    if args.fold_parallel is not None:
-        if args.pretrain or args.mesh:
-            ap.error("--fold-parallel is incompatible with --pretrain/--mesh")
-        from multilevel_gnn_tpu.train.fold_parallel import (
-            run_experiment_foldparallel,
-        )
+    import contextlib
 
-        results = run_experiment_foldparallel(
-            cfg, cohort, devices=args.fold_parallel or None,
-            ckpt_dir=args.ckpt_dir, resume=args.resume,
-        )
-    else:
-        results = run_experiment(
-            cfg, cohort, pretrain=args.pretrain,
-            pretrain_epochs=args.pretrain_epochs,
-            ckpt_dir=args.ckpt_dir, resume=args.resume,
-        )
+    from multilevel_gnn_tpu.utils.profiling import trace
+
+    prof = trace(args.profile_dir) if args.profile_dir else (
+        contextlib.nullcontext()
+    )
+    with prof:
+        results = _run(args, ap, cfg, cohort)
     final_e = results["check_epochs"][-1]
     print(
         json.dumps(
@@ -148,6 +144,27 @@ def main(argv=None):
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
+
+
+def _run(args, ap, cfg, cohort):
+    from multilevel_gnn_tpu.train.driver import run_experiment
+
+    if args.fold_parallel is not None:
+        if args.pretrain or args.mesh:
+            ap.error("--fold-parallel is incompatible with --pretrain/--mesh")
+        from multilevel_gnn_tpu.train.fold_parallel import (
+            run_experiment_foldparallel,
+        )
+
+        return run_experiment_foldparallel(
+            cfg, cohort, devices=args.fold_parallel or None,
+            ckpt_dir=args.ckpt_dir, resume=args.resume,
+        )
+    return run_experiment(
+        cfg, cohort, pretrain=args.pretrain,
+        pretrain_epochs=args.pretrain_epochs,
+        ckpt_dir=args.ckpt_dir, resume=args.resume,
+    )
 
 
 if __name__ == "__main__":

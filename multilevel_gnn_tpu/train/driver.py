@@ -314,16 +314,13 @@ def run_fold(
         from multilevel_gnn_tpu.train import checkpoint as C
 
         tag_dir = os.path.join(ckpt_dir, fold_tag)
-        last = C.latest_step(tag_dir)
+        last = C.latest_resumable_step(tag_dir)
         if last is not None:
             tree, _ = C.load_checkpoint(
                 tag_dir, {"params": params, "opt_state": opt_state}, last
             )
             params, opt_state = tree["params"], tree["opt_state"]
-            host = np.load(
-                os.path.join(tag_dir, f"step_{last}.host.npy"),
-                allow_pickle=True,
-            ).item()
+            host = C.load_host_state(tag_dir, last)
             results = host["results"]
             y_true_test = host["y_true_test"]
             step_i = host["step_i"]
@@ -403,16 +400,16 @@ def run_fold(
                 loop_state={"run": run_i, "fold": fold_i, "epoch": epoch},
                 step=epoch,
             )
-            np.save(
-                os.path.join(tag_dir, f"step_{epoch}.host.npy"),
+            C.save_host_state(
+                tag_dir, epoch,
                 {
                     "results": results,
                     "y_true_test": y_true_test,
                     "step_i": step_i,
                     "np_rng_state": np_rng.get_state(),
                 },
-                allow_pickle=True,
             )
+            C.prune_old_steps(tag_dir, cfg.ckpt_keep)
         if interrupt_after is not None:
             interrupt_after[0] -= 1
             if interrupt_after[0] <= 0:

@@ -200,7 +200,7 @@ def run_experiment_foldparallel(
             os.path.join(ckpt_dir, f"run{u.run_i}_fold{u.fold_i}")
             for u in units
         ]
-        lasts = [C.latest_step(t) for t in tags]
+        lasts = [C.latest_resumable_step(t) for t in tags]
         if all(last is not None for last in lasts):
             epoch0 = min(lasts)  # lockstep: min common checkpointed epoch
             for i, tag in enumerate(tags):
@@ -209,16 +209,20 @@ def run_experiment_foldparallel(
                     epoch0,
                 )
                 params_l[i], opt_l[i] = tree["params"], tree["opt_state"]
-                host = np.load(
-                    os.path.join(tag, f"step_{epoch0}.host.npy"),
-                    allow_pickle=True,
-                ).item()
+                host = C.load_host_state(tag, epoch0)
                 results[i] = host["results"]
                 y_true_test[i] = host["y_true_test"]
                 step_i = host["step_i"]
                 np_rngs[i].set_state(host["np_rng_state"])
             start_epoch = epoch0 + 1
             log.info("fold-parallel resumed %d units at epoch %d", F, epoch0)
+        else:
+            missing = sum(1 for last in lasts if last is None)
+            log.warning(
+                "--resume requested but %d/%d units have no complete "
+                "checkpoint (lockstep resume needs all of them); "
+                "restarting the experiment from epoch 1", missing, F,
+            )
 
     params, opt_state = _stack(params_l), _stack(opt_l)
     ctx = _stack(ctx_l)
@@ -254,7 +258,10 @@ def run_experiment_foldparallel(
             check_vma=False,
         )
 
-    vstep = jax.jit(_step)
+    # donate the chained (params, opt_state) like the sequential step
+    # (train/step.py) — the loop only reads vstep's OUTPUT tree (checkpoint
+    # epochs np.asarray the post-step state), never a donated input
+    vstep = jax.jit(_step, donate_argnums=(0, 1))
     veval = jax.jit(_eval)
 
     sampler_weights = []
@@ -384,16 +391,16 @@ def run_experiment_foldparallel(
                                 "epoch": epoch},
                     step=epoch,
                 )
-                np.save(
-                    os.path.join(tag, f"step_{epoch}.host.npy"),
+                C.save_host_state(
+                    tag, epoch,
                     {
                         "results": results[i],
                         "y_true_test": y_true_test[i],
                         "step_i": step_i,
                         "np_rng_state": np_rngs[i].get_state(),
                     },
-                    allow_pickle=True,
                 )
+                C.prune_old_steps(tag, cfg.ckpt_keep)
 
     # ---- pooled check-epoch aggregation (mirrors run_experiment) ----
     agg = {

@@ -5,9 +5,13 @@ import jax
 import jax.numpy as jnp
 
 from multilevel_gnn_tpu.train.checkpoint import (
+    latest_resumable_step,
     latest_step,
     load_checkpoint,
+    load_host_state,
+    prune_old_steps,
     save_checkpoint,
+    save_host_state,
 )
 from multilevel_gnn_tpu.utils.knnie import (
     entropy,
@@ -34,6 +38,56 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(tree["params"]["a"]),
                                   np.asarray(params["a"]))
     assert loop == {"run": 1, "fold": 2, "epoch": 7}
+
+
+def _host_state(step_i):
+    rs = np.random.RandomState(step_i)
+    return {
+        "results": {"highest_valid": 0.5 + step_i},
+        "y_true_test": np.arange(3),
+        "step_i": step_i,
+        "np_rng_state": rs.get_state(),
+    }
+
+
+def test_host_state_and_resumable_step(tmp_path):
+    """A kill between save_checkpoint and save_host_state must not brick
+    resume: latest_resumable_step falls back to the newest COMPLETE pair."""
+    params = {"a": jnp.ones(2)}
+    p = str(tmp_path / "ck")
+    save_checkpoint(p, params, step=2)
+    save_host_state(p, 2, _host_state(2))
+    save_checkpoint(p, params, step=4)  # no sidecar: simulated kill window
+    assert latest_step(p) == 4
+    assert latest_resumable_step(p) == 2
+    host = load_host_state(p, 2)
+    assert host["step_i"] == 2
+    rs = np.random.RandomState(0)
+    rs.set_state(host["np_rng_state"])
+    assert rs.randint(100) == np.random.RandomState(2).randint(100)
+
+
+def test_prune_old_steps(tmp_path):
+    params = {"a": jnp.ones(2)}
+    p = str(tmp_path / "ck")
+    save_checkpoint(p, params, step=1)  # stale incomplete (no sidecar)
+    for step in (2, 4, 6):
+        save_checkpoint(p, params, loop_state={"epoch": step}, step=step)
+        save_host_state(p, step, _host_state(step))
+    save_checkpoint(p, params, step=8)  # newest incomplete: must survive
+    prune_old_steps(p, keep=2)
+    assert latest_resumable_step(p) == 6
+    # retained: complete 4 and 6, plus the newest incomplete 8
+    import os
+
+    dirs = sorted(d for d in os.listdir(str(tmp_path / "ck"))
+                  if d.startswith("step_") and "." not in d)
+    assert dirs == ["step_4", "step_6", "step_8"]
+    assert not os.path.exists(str(tmp_path / "ck" / "step_2.host.npy"))
+    assert not os.path.exists(str(tmp_path / "ck" / "step_2.loop.json"))
+    load_host_state(p, 4)  # survivors still loadable
+    prune_old_steps(p, keep=0)  # 0 = keep everything
+    assert latest_resumable_step(p) == 6
 
 
 def test_km_and_logrank(rng):

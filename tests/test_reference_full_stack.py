@@ -236,10 +236,18 @@ def test_full_stack_training_and_eval_parity(tmp_path):
         for b in _our_batches(cohort, idxs, BS, drop_last=False):
             pred, loss = fns.eval_step(params, b, fold.ctx)
             preds.append(np.asarray(pred))
-            losses.append(float(loss) * int(b.sample_mask.sum()))
+            # our eval loss is the masked per-batch mean == torch BCELoss()
+            # (mean reduction) on the reference's un-padded batch
+            losses.append(float(loss))
         pred = np.concatenate(preds)
+        # reference eval() pools statistics.mean over per-batch means
+        # (train.py:90,110) — compare unweighted
         np.testing.assert_allclose(
-            r_res["y_pred"][:, None].repeat(1, 1), pred[:, :1], rtol=5e-3,
+            float(r_loss), float(np.mean(losses)), rtol=5e-3,
+            err_msg=f"{name} eval loss diverged",
+        )
+        np.testing.assert_allclose(
+            r_res["y_pred"][:, None], pred[:, :1], rtol=5e-3,
             atol=5e-4, err_msg=f"{name} predictions diverged",
         )
         # reference eval() scores column 0 against y[:, 0] >= 0.5
@@ -249,3 +257,12 @@ def test_full_stack_training_and_eval_parity(tmp_path):
         )
         np.testing.assert_allclose(r_auc, our_auc, atol=1e-6,
                                    err_msg=f"{name} AUC diverged")
+        # reference acc: accuracy_score(y_true, pred[:, 0] > 0.5)
+        # (train.py:94,103-105)
+        from sklearn.metrics import accuracy_score
+
+        our_acc = accuracy_score(
+            np.asarray(cohort.Y[idxs])[:, 0] >= 0.5, pred[:, 0] > 0.5
+        )
+        np.testing.assert_allclose(r_acc, our_acc, atol=1e-6,
+                                   err_msg=f"{name} accuracy diverged")
