@@ -260,6 +260,10 @@ class Config:
     # value-exact vs sklearn mutual_info_classif); False forces sklearn
     native_mi: bool = True
     ckpt_every: int = 0  # save {params,opt_state,loop} every N epochs (0=off)
+    # overlap the next fold's host derivation (MI/PCA/edges) with on-device
+    # training on a 1-worker thread; fold setups are also cached across runs
+    # (identical splits per run).  Semantics-neutral — driver.run_experiment.
+    fold_prefetch: bool = True
     ckpt_keep: int = 0  # retain only the newest N complete checkpoints (0=all)
     pathway_edge_num: int = 0  # set by the data pipeline (onehot edge count)
 

@@ -212,6 +212,7 @@ def run_fold(
     ckpt_dir: Optional[str] = None,
     resume: bool = False,
     interrupt_after: Optional[int] = None,
+    prepared=None,
 ) -> FoldResult:
     t_prep0 = time.time()
     _marks: List = []
@@ -219,7 +220,15 @@ def run_fold(
     def _mark(label):
         _marks.append((label, time.time()))
 
-    cfg, fold, X, raw = fold_setup(cfg, cohort, train_idx, fold_i)
+    # prepared: a (cfg, fold, X, raw) tuple from fold_setup — run_experiment
+    # caches these across runs (every run re-derives IDENTICAL splits, so
+    # the reference recomputes the same MI mask + PCA + edge re-selection
+    # num_run times, train.py:258-299) and prefetches the next fold's on a
+    # background thread while this fold trains on-device.
+    cfg, fold, X, raw = (
+        prepared if prepared is not None
+        else fold_setup(cfg, cohort, train_idx, fold_i)
+    )
     _mark("cohort.fold")
     ctx = fold.ctx
     if mesh is not None:
@@ -464,55 +473,112 @@ def run_experiment(
                   "acc_by_epoch")
     }
     t0 = time.time()
-    for run_i in range(cfg.num_run):
-        outer = stratified_kfold(
-            labels, 5, cfg.split_shaffle, cfg.split_seed
+
+    # ---- fold-setup cache + prefetch ----
+    # Every run derives IDENTICAL splits (stratified_kfold is seeded by
+    # cfg.split_seed alone), so the per-fold host derivation (MI mask,
+    # per-pathway PCA, edge re-selection, graph metadata) is the same for
+    # run 2..num_run — the reference recomputes it every run
+    # (train.py:258-299).  Cache the 5 FoldData by (fold_i, train_idx) and
+    # overlap the FIRST run's derivations with on-device training via a
+    # 1-worker thread (fold_setup is pure host work on the cohort;
+    # training only reads cohort.X/Y/ages).
+    def _fold_indices(outer, fold_i):
+        tune, test_idx = outer[fold_i]
+        inner = stratified_kfold(
+            labels[tune], 5, cfg.split_shaffle, cfg.split_seed
         )
-        fold_results: List[FoldResult] = []
-        for fold_i, (tune, test_idx) in enumerate(outer):
-            inner_labels = labels[tune]
-            inner = stratified_kfold(
-                inner_labels, 5, cfg.split_shaffle, cfg.split_seed
+        tr, va = inner[0]
+        return tune[tr], tune[va], test_idx
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    setup_cache: Dict = {}
+    pending: Dict = {}
+    executor = ThreadPoolExecutor(1) if cfg.fold_prefetch else None
+
+    def _setup_key(fold_i, train_idx):
+        return (fold_i, np.asarray(train_idx).tobytes())
+
+    def _get_setup(fold_i, train_idx):
+        k = _setup_key(fold_i, train_idx)
+        if k not in setup_cache:
+            fut = pending.pop(k, None)
+            setup_cache[k] = (
+                fut.result() if fut is not None
+                else fold_setup(cfg, cohort, train_idx, fold_i)
             )
-            tr, va = inner[0]
-            train_idx, valid_idx = tune[tr], tune[va]
-            done_path = (
-                os.path.join(ckpt_dir, f"result_run{run_i}_fold{fold_i}.npy")
-                if ckpt_dir is not None
-                else None
+        return setup_cache[k]
+
+    def _prefetch(fold_i, train_idx):
+        if executor is None:
+            return
+        k = _setup_key(fold_i, train_idx)
+        if k not in setup_cache and k not in pending:
+            pending[k] = executor.submit(
+                fold_setup, cfg, cohort, train_idx, fold_i
             )
-            if resume and done_path is not None and os.path.exists(done_path):
-                fr = np.load(done_path, allow_pickle=True).item()
-                log.info("run %d fold %d: loaded completed result", run_i, fold_i)
-            else:
-                fr = run_fold(
-                    cfg, cohort, train_idx, valid_idx, test_idx, fold_i, run_i,
-                    check_epochs, pretrained_params, mesh=mesh,
-                    ckpt_dir=ckpt_dir, resume=resume,
-                    interrupt_after=interrupt_after,
+
+    try:
+        for run_i in range(cfg.num_run):
+            outer = stratified_kfold(
+                labels, 5, cfg.split_shaffle, cfg.split_seed
+            )
+            fold_results: List[FoldResult] = []
+            for fold_i in range(len(outer)):
+                train_idx, valid_idx, test_idx = _fold_indices(outer, fold_i)
+                done_path = (
+                    os.path.join(
+                        ckpt_dir, f"result_run{run_i}_fold{fold_i}.npy"
+                    )
+                    if ckpt_dir is not None
+                    else None
                 )
-                if done_path is not None:
-                    os.makedirs(ckpt_dir, exist_ok=True)
-                    np.save(done_path, fr, allow_pickle=True)
-            fold_results.append(fr)
-        y = np.concatenate([fr.y_true for fr in fold_results])
-        for e in check_epochs:
-            for key, attr in (
-                ("auc", "epoch_pred"),
-                ("auc_by_loss", "epoch_pred_by_loss"),
-                ("auc_by_epoch", "epoch_pred_by_epoch"),
-            ):
-                pred = np.concatenate(
-                    [getattr(fr, attr)[e] for fr in fold_results]
-                )
-                agg[key][e].append(M.roc_auc(y, pred))
-                agg[key.replace("auc", "acc")][e].append(
-                    M.accuracy(y, pred > 0.5)
-                )
-        log.info(
-            "run %d: pooled AUC@%d %.4f", run_i, check_epochs[-1],
-            agg["auc"][check_epochs[-1]][-1],
-        )
+                if (
+                    resume and done_path is not None
+                    and os.path.exists(done_path)
+                ):
+                    fr = np.load(done_path, allow_pickle=True).item()
+                    log.info(
+                        "run %d fold %d: loaded completed result",
+                        run_i, fold_i,
+                    )
+                else:
+                    prepared = _get_setup(fold_i, train_idx)
+                    if fold_i + 1 < len(outer):
+                        nxt, _, _ = _fold_indices(outer, fold_i + 1)
+                        _prefetch(fold_i + 1, nxt)
+                    fr = run_fold(
+                        cfg, cohort, train_idx, valid_idx, test_idx, fold_i,
+                        run_i, check_epochs, pretrained_params, mesh=mesh,
+                        ckpt_dir=ckpt_dir, resume=resume,
+                        interrupt_after=interrupt_after, prepared=prepared,
+                    )
+                    if done_path is not None:
+                        os.makedirs(ckpt_dir, exist_ok=True)
+                        np.save(done_path, fr, allow_pickle=True)
+                fold_results.append(fr)
+            y = np.concatenate([fr.y_true for fr in fold_results])
+            for e in check_epochs:
+                for key, attr in (
+                    ("auc", "epoch_pred"),
+                    ("auc_by_loss", "epoch_pred_by_loss"),
+                    ("auc_by_epoch", "epoch_pred_by_epoch"),
+                ):
+                    pred = np.concatenate(
+                        [getattr(fr, attr)[e] for fr in fold_results]
+                    )
+                    agg[key][e].append(M.roc_auc(y, pred))
+                    agg[key.replace("auc", "acc")][e].append(
+                        M.accuracy(y, pred > 0.5)
+                    )
+            log.info(
+                "run %d: pooled AUC@%d %.4f", run_i, check_epochs[-1],
+                agg["auc"][check_epochs[-1]][-1],
+            )
+    finally:
+        if executor is not None:
+            executor.shutdown(wait=False, cancel_futures=True)
     all_epoch_times = [
         t
         for fr in fold_results

@@ -77,3 +77,44 @@ def test_cv_driver_vae_finetune_with_pretrain():
     res = run_experiment(cfg, cohort, pretrain="vae", pretrain_epochs=1)
     e = res["check_epochs"][-1]
     assert 0.0 <= res["auc"][e] <= 1.0
+
+
+def test_fold_setup_cache_and_prefetch_equivalence(monkeypatch):
+    """run_experiment caches fold setups across runs (splits are identical
+    per run — the reference re-derives them num_run times, train.py:258-299)
+    and prefetches the next fold on a thread.  Both must be value-neutral:
+    a 2-run experiment derives each fold ONCE, and threaded prefetch
+    reproduces the inline (fold_prefetch=False) pooled metrics exactly."""
+    import multilevel_gnn_tpu.train.driver as drv
+
+    def build(prefetch):
+        cfg = gbm_like_cfg(
+            epochs=2, num_run=2, batch_size=8, split_shaffle=True,
+            split_seed=3, node_embedding_dim=4, hidden_channels=8,
+            final_channels=4, head_dim=16, fold_prefetch=prefetch,
+        )
+        cohort = make_synthetic_cohort(cfg, seed=0, n_patients=40,
+                                       n_pathways=5)
+        return cfg, cohort
+
+    calls = []
+    real_setup = drv.fold_setup
+
+    def counting_setup(cfg, cohort, train_idx, fold_i):
+        calls.append(fold_i)
+        return real_setup(cfg, cohort, train_idx, fold_i)
+
+    monkeypatch.setattr(drv, "fold_setup", counting_setup)
+    cfg, cohort = build(prefetch=True)
+    res_threaded = run_experiment(cfg, cohort)
+    # 2 runs x 5 folds, each fold derived exactly once
+    assert sorted(calls) == [0, 1, 2, 3, 4]
+
+    calls.clear()
+    cfg, cohort = build(prefetch=False)
+    res_inline = run_experiment(cfg, cohort)
+    assert sorted(calls) == [0, 1, 2, 3, 4]
+
+    for k in ("auc", "acc", "auc_by_loss", "acc_by_loss"):
+        for e, v in res_threaded[k].items():
+            np.testing.assert_allclose(v, res_inline[k][e], err_msg=k)
