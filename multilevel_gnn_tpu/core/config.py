@@ -81,6 +81,26 @@ class Config:
     num_layer_head: int = 1
     use_age: bool = False
     head_dropout: bool = False
+    # DeeperGCN inter-layer gating (reference deepergcn.py:236-278): skip
+    # the norm / dropout between res+ and plain blocks' layers
+    no_inter_drop: bool = False
+    no_inter_norm: bool = False
+    # DeeperGCN weight re-init (reference deepergcn.py:169-175,351-358):
+    # all_init xavier-re-inits every Linear weight + zeroes every bias;
+    # head_init does the same for the prediction head only.  all_init
+    # defaults TRUE like the reference (opt.py:191 `type=bool, default=True`
+    # — argparse's bool('False')==True quirk means it is effectively always
+    # on there).
+    all_init: bool = True
+    head_init: bool = False
+    # MultilevelGNNSeq head: predict from the first two PCA columns only
+    # (reference multilevel_gnn_seq.py:36,61-64 — the `x[:,:,:,:2]` slice
+    # assumes pca_dim==2, preserved; see docs/PARITY.md)
+    only_mrna_pred: bool = False
+    # filter STRING/GRN edges to same-pathway gene pairs at load time
+    # (reference multiloader.py:209,264 via in_same_pathway :363-371,
+    # including its positional-index membership quirk)
+    pretain_only_pathway_edge: bool = False
     # the flagship head's dropout is HARDCODED 0.5 in the reference
     # (multilevel_gnn.py:116,125); parameterized here (default = reference)
     # so deterministic parity tests can zero it on both sides
@@ -265,6 +285,13 @@ class Config:
     # (identical splits per run).  Semantics-neutral — driver.run_experiment.
     fold_prefetch: bool = True
     ckpt_keep: int = 0  # retain only the newest N complete checkpoints (0=all)
+    # device-side epoch scan: run each epoch's train steps as ONE compiled
+    # lax.scan (and both eval splits as one scan) instead of one dispatch
+    # per step — removes the per-step dispatch+optimizer residue (~4 ms on
+    # the v5e tunnel, 20% of the r2 train step).  Semantics-identical to
+    # the per-step path (same host RNG plan, same fold_in stream); the
+    # per-step path remains for mesh-sharded runs.
+    epoch_scan: bool = True
     pathway_edge_num: int = 0  # set by the data pipeline (onehot edge count)
 
     def replace(self, **kw) -> "Config":
@@ -284,18 +311,39 @@ class Config:
             "device", "num_workers", "use_gpu", "name_pre", "time", "config",
             "raw_mrna_path", "raw_cnv_path", "raw_methylation_path",
             "clinical_path", "node_path", "edge_path", "grn_edge_path",
-            "kegg_path", "pathway_path", "make_graph",
-            "pretain_only_pathway_edge", "position_embedding", "add_hat",
-            "only_mrna_pred", "first_conv_channel", "hidden_head",
-            "pca_all", "head_init", "all_init", "no_inter_drop",
-            "no_inter_norm", "set_all_seed", "freeze_dataloader_init",
+            "kegg_path", "pathway_path",
+            "position_embedding", "add_hat",
+            "first_conv_channel", "hidden_head",
+            "pca_all", "set_all_seed", "freeze_dataloader_init",
             "freeze_net_params_init", "active_learning", "active_type",
             "active_percent", "save_method", "ckpt_path", "igscore_epoch",
             "autoencoder_save_path", "autoencoder_save_dir",
             "load_autoencoder_epoch",
         }
+        # make_graph (reference multiloader.py:963) filters nodes PER
+        # PATIENT by whether any neighbor's <make_graph>-omics value is
+        # nonzero — per-patient topology is incompatible with this
+        # framework's static shared fold graph (SURVEY §3.2 batching
+        # design).  Reject loudly instead of silently diverging; the
+        # reference default is None and no shipped config sets it
+        # (docs/PARITY.md divergence list).
+        if data.get("make_graph") is not None:
+            raise NotImplementedError(
+                "make_graph per-patient node filtering is not supported: "
+                "it produces patient-dependent graph topology, which this "
+                "framework's static-shape batched design intentionally "
+                "does not model (see docs/PARITY.md)"
+            )
+        ignored = ignored | {"make_graph"}
         unknown = set(data) - names - ignored
         if unknown:
             raise KeyError(f"unknown config keys: {sorted(unknown)}")
         kw = {k: v for k, v in data.items() if k in names}
-        return Config(**kw)
+        cfg = Config(**kw)
+        if cfg.only_mrna_pred and cfg.model != "multilevel_gnn_seq":
+            raise ValueError(
+                "only_mrna_pred is a MultilevelGNNSeq head flag "
+                "(reference multilevel_gnn_seq.py:36); set model: "
+                "multilevel_gnn_seq"
+            )
+        return cfg

@@ -46,15 +46,37 @@ def symbol_to_entrez(kegg: pd.DataFrame) -> Dict[str, int]:
     return out
 
 
+def in_same_pathway(
+    source_id: int, end_id: int, kegg: pd.DataFrame, pathway_codes
+) -> bool:
+    """Reference MyData.in_same_pathway (multiloader.py:363-371), quirks
+    preserved: `id in kegg['Entrezid']` tests the Series INDEX (the row
+    positions under the default RangeIndex), not the entrez values — so
+    ids >= len(kegg) always fail membership and the edge is dropped; and
+    only the SOURCE pathway is checked against pathway_codes (the end
+    node's membership in the used-pathway list is never tested)."""
+    if source_id not in kegg["Entrezid"] or end_id not in kegg["Entrezid"]:
+        return False
+    src_pw = kegg[kegg["Entrezid"] == source_id]["PathwayID"].unique()
+    end_pw = kegg[kegg["Entrezid"] == end_id]["PathwayID"].unique()
+    end_set = set(end_pw)
+    for p in src_pw:
+        if p in pathway_codes and p in end_set:
+            return True
+    return False
+
+
 def parse_grnboost2_edges(
     path: str,
     kegg: pd.DataFrame,
     cfg: Config,
+    pathways=None,
 ) -> Tuple[Dict[int, List[Tuple[int, int]]], Dict[int, List[float]]]:
     """GRNBoost2 TSV -> entrez-keyed edge dict (reference :220-274).
 
     Filters: importance >= grn_edge_select_threshold; zero/NaN importance
-    dropped when use_column is set; both endpoints must map to kegg entrez.
+    dropped when use_column is set; both endpoints must map to kegg entrez;
+    with cfg.pretain_only_pathway_edge, same-pathway pairs only (:264).
     """
     try:
         from multilevel_gnn_tpu.data import native
@@ -83,6 +105,10 @@ def parse_grnboost2_edges(
         if cfg.use_column is not None and (np.isnan(val) or val == 0):
             continue
         s, d = sym2ent[src], sym2ent[dst]
+        if cfg.pretain_only_pathway_edge and not in_same_pathway(
+            s, d, kegg, pathways or []
+        ):
+            continue
         edges.setdefault(s, []).append((s, d))
         attrs.setdefault(s, []).append(float(val))
         count += 1
@@ -95,8 +121,10 @@ def parse_ppi_edges(
     edge_path: str,
     kegg: pd.DataFrame,
     cfg: Config,
+    pathways=None,
 ) -> Tuple[Dict[int, List[Tuple[int, int]]], Dict[int, List[float]]]:
-    """STRING PPI CSVs -> entrez-keyed edge dict (reference :178-218)."""
+    """STRING PPI CSVs -> entrez-keyed edge dict (reference :178-218);
+    with cfg.pretain_only_pathway_edge, same-pathway pairs only (:209)."""
     raw_node = pd.read_csv(node_path)
     raw_edge = pd.read_csv(edge_path).fillna(0)
     kegg_symbols = set(kegg["Symbol"].tolist())
@@ -123,6 +151,10 @@ def parse_ppi_edges(
         if cfg.use_column is not None and (pd.isna(val) or val == 0):
             continue
         s, d = id2ent[a], id2ent[b]
+        if cfg.pretain_only_pathway_edge and not in_same_pathway(
+            s, d, kegg, pathways or []
+        ):
+            continue
         edges.setdefault(s, []).append((s, d))
         attrs.setdefault(s, []).append(float(val))
         count += 1
@@ -181,14 +213,20 @@ def load_cohort_from_files(
     edges2 = attrs2 = None
     if cfg.edge_type == "ppi":
         assert ppi_node_path is not None
-        edges, attrs = parse_ppi_edges(ppi_node_path, edge_path, kegg, cfg)
+        edges, attrs = parse_ppi_edges(
+            ppi_node_path, edge_path, kegg, cfg, pathways
+        )
     elif cfg.edge_type == "merge":
         # reference multiloader.py:62-64: PPI primary + GRN secondary
         assert ppi_node_path is not None and grn_edge_path is not None
-        edges, attrs = parse_ppi_edges(ppi_node_path, edge_path, kegg, cfg)
-        edges2, attrs2 = parse_grnboost2_edges(grn_edge_path, kegg, cfg)
+        edges, attrs = parse_ppi_edges(
+            ppi_node_path, edge_path, kegg, cfg, pathways
+        )
+        edges2, attrs2 = parse_grnboost2_edges(
+            grn_edge_path, kegg, cfg, pathways
+        )
     else:
-        edges, attrs = parse_grnboost2_edges(edge_path, kegg, cfg)
+        edges, attrs = parse_grnboost2_edges(edge_path, kegg, cfg, pathways)
     cfg = cfg.replace(pathway_num=len(pathways))
     return Cohort(
         omics, clinical, kegg, pathways, edges, attrs, cfg,

@@ -65,6 +65,42 @@ class TransformerEncoderLayer(nn.Module):
         return x
 
 
+def apply_init_weight(params, rng, head_only: bool = False):
+    """Reference DeeperGCN weight re-init, applied post-init.
+
+    all_init (reference deepergcn.py:169-170 -> init_weight :351-358):
+    xavier_uniform on every Linear/Conv weight + zero biases.  head_init
+    (:171-175): the same restricted to the prediction head
+    (graph_pred_linear == our head_* Linears).
+
+    Implemented as a params transform because torch mutates modules in
+    place while flax params are a pytree.  Scope mirrors
+    `isinstance(m, nn.Linear)`: 2-D `kernel` leaves and their sibling
+    biases.  Divergence (documented in docs/PARITY.md): the fused
+    flax attention kernels of the MSA readout are 3-D and skipped, whereas
+    torch re-inits MultiheadAttention's out_proj (a Linear) but not its
+    in_proj (a bare Parameter)."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    kernels = {
+        path for path, leaf in flat.items()
+        if path[-1] == "kernel" and jnp.ndim(leaf) == 2
+    }
+    if head_only:
+        kernels = {p for p in kernels if any(s.startswith("head") for s in p)}
+    i = 0
+    for path in sorted(kernels):
+        i += 1
+        flat[path] = xavier_uniform(
+            jax.random.fold_in(rng, i), flat[path].shape, flat[path].dtype
+        )
+        bpath = path[:-1] + ("bias",)
+        if bpath in flat:
+            flat[bpath] = jnp.zeros_like(flat[bpath])
+    return flax.traverse_util.unflatten_dict(flat)
+
+
 class DeeperGCN(nn.Module):
     """apply(params, batch, ctx, training) -> (pred, aux=None-like).
 
@@ -187,15 +223,20 @@ class DeeperGCN(nn.Module):
         def drop(v):
             return nn.Dropout(cfg.dropout, deterministic=not training)(v)
 
+        # no_inter_norm / no_inter_drop gate the inter-layer norm / dropout
+        # exactly where the reference reads them (deepergcn.py:236-246 res+,
+        # :270-278 plain; the res branch never consults them)
         if cfg.block == "res+":
             h = gcns[0](h, graph, edge_emb, training)
             for l in range(1, cfg.num_layers):
-                h1 = norms[l - 1](h, training)
+                h1 = norms[l - 1](h, training) if not cfg.no_inter_norm else h
                 h2 = jax.nn.relu(h1)
-                h2 = drop(h2)
+                if not cfg.no_inter_drop:
+                    h2 = drop(h2)
                 h = gcns[l](h2, graph, edge_emb, training) + h
             h = norms[cfg.num_layers - 1](h, training)
-            h = drop(h)
+            if not cfg.no_inter_drop:
+                h = drop(h)
         elif cfg.block == "res":
             h = jax.nn.relu(norms[0](gcns[0](h, graph, edge_emb, training), training))
             h = drop(h)
@@ -208,9 +249,16 @@ class DeeperGCN(nn.Module):
             h = drop(h)
             for l in range(1, cfg.num_layers):
                 h1 = gcns[l](h, graph, edge_emb, training)
-                h2 = norms[l](h1, training)
-                h = jax.nn.relu(h2) if l != cfg.num_layers - 1 else h2
-                h = drop(h)
+                h2 = norms[l](h1, training) if not cfg.no_inter_norm else h1
+                # reference :273: the last layer keeps its relu when
+                # pca_only is set
+                h = (
+                    jax.nn.relu(h2)
+                    if l != cfg.num_layers - 1 or cfg.pca_only
+                    else h2
+                )
+                if not cfg.no_inter_drop:
+                    h = drop(h)
         else:
             raise NotImplementedError(cfg.block)
         h = h.astype(jnp.float32)  # readout + head stay f32

@@ -93,22 +93,38 @@ class ConvHead(nn.Module):
                 kernel_init=xavier_uniform,
             )(h)
             h = jax.nn.relu(h)
-        if len(cfg.used_omics) != 3:
-            cols = []
-            for i in cfg.used_omics:
-                ii = int(i)
-                cols.extend(range(ii * cfg.pca_dim, (ii + 1) * cfg.pca_dim))
-            h = h[:, :, jnp.asarray(cols), :]
-        h = nn.max_pool(
-            h,
-            window_shape=(cfg.pathway_pool_dim, cfg.pca_pool_dim),
-            strides=(cfg.pathway_pool_dim, cfg.pca_pool_dim),
-        )
-        drop_rate = 0.25 if cfg.feature_drop else 0.0
-        if drop_rate > 0:
-            h = nn.Dropout(drop_rate, deterministic=not training)(h)
-        h = jnp.transpose(h, (0, 3, 1, 2))  # back to NCHW for flatten parity
-        h = h.reshape(h.shape[0], -1)
+        if cfg.only_mrna_pred:
+            # MultilevelGNNSeq head (reference multilevel_gnn_seq.py:61-64):
+            # keep only the first two PCA columns (the hardcoded `:2` slice
+            # assumes pca_dim==2, preserved), pool, flatten — NO feature
+            # dropout and NO pre_linear on this branch.  The reference head
+            # width formula (:36-38) is only self-consistent at pca_dim==2;
+            # our shape-lazy Linear derives it from the actual flatten.
+            h = h[:, :, :2, :]
+            h = nn.max_pool(
+                h,
+                window_shape=(cfg.pathway_pool_dim, cfg.pca_pool_dim),
+                strides=(cfg.pathway_pool_dim, cfg.pca_pool_dim),
+            )
+            h = jnp.transpose(h, (0, 3, 1, 2))  # NCHW flatten parity
+            h = h.reshape(h.shape[0], -1)
+        else:
+            if len(cfg.used_omics) != 3:
+                cols = []
+                for i in cfg.used_omics:
+                    ii = int(i)
+                    cols.extend(range(ii * cfg.pca_dim, (ii + 1) * cfg.pca_dim))
+                h = h[:, :, jnp.asarray(cols), :]
+            h = nn.max_pool(
+                h,
+                window_shape=(cfg.pathway_pool_dim, cfg.pca_pool_dim),
+                strides=(cfg.pathway_pool_dim, cfg.pca_pool_dim),
+            )
+            drop_rate = 0.25 if cfg.feature_drop else 0.0
+            if drop_rate > 0:
+                h = nn.Dropout(drop_rate, deterministic=not training)(h)
+            h = jnp.transpose(h, (0, 3, 1, 2))  # back to NCHW for flatten parity
+            h = h.reshape(h.shape[0], -1)
         if cfg.use_age:
             h = jnp.concatenate([h, age[:, None]], axis=-1)
         h = Linear(cfg.head_dim, kernel_init=xavier_uniform, name="head_0")(h)

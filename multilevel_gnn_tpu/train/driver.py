@@ -53,19 +53,25 @@ def stratified_kfold(labels: np.ndarray, n_splits: int, shuffle: bool, seed):
     return list(skf.split(idx, labels))
 
 
-def iter_batches(
-    X, Y, ages, idxs, batch_size, rng: np.random.RandomState,
+def epoch_plan(
+    X, idxs, batch_size, rng: np.random.RandomState,
     shuffle: bool, drop_last: bool,
     sampler_weights: Optional[np.ndarray] = None,
     variation_aug: Optional[dict] = None,
-    raw: Optional[np.ndarray] = None,
 ):
-    """Batch iterator mirroring the reference DataLoader setups
-    (train.py:309-327). Yields fully-padded Batch pytrees.
+    """Host-side batch PLAN for one epoch: the index selection and
+    augmentation-multiplier draws of the reference DataLoader setups
+    (train.py:309-327, multiloader.py:876-884), decoupled from batch
+    materialization so the device-side epoch scan (train/step.py
+    train_epoch) can gather rows on-device from the same plan.
 
-    variation_aug: {prob, range} applies the reference's random-variation
-    augmentation (multiloader.py:876-884): with probability prob, multiply
-    features by U(1-range, 1+range), cnv slots (slot % 3 == 1) exempt."""
+    Yields (take (B,) int, sample_mask (B,) bool, mult (B, *feat) | None).
+    The np RNG consumption order is EXACTLY iter_batches' historical order
+    (selection draw, then per-batch rand(B) + uniform(shape)), so plans
+    and materialized iterators are interchangeable mid-stream.
+
+    variation_aug: {prob, range} — with probability prob, multiply features
+    by U(1-range, 1+range); cnv slots (slot % 3 == 1) exempt."""
     idxs = np.asarray(idxs)
     if sampler_weights is not None:
         # WeightedRandomSampler(weights, num_samples, replacement=True)
@@ -84,25 +90,47 @@ def iter_batches(
         b = len(chunk)
         pad = batch_size - b
         take = np.concatenate([chunk, np.repeat(chunk[-1:], pad)]) if pad else chunk
-        xb = X[take]
+        mult = None
         if variation_aug is not None:
-            m = np.ones_like(xb)
+            shape = (len(take),) + X.shape[1:]
+            mult = np.ones(shape, X.dtype)
             hit = rng.rand(len(take)) < variation_aug["prob"]
             r = variation_aug["range"]
-            noise = rng.uniform(1 - r, 1 + r, xb.shape).astype(xb.dtype)
-            if xb.ndim == 2:
+            noise = rng.uniform(1 - r, 1 + r, shape).astype(X.dtype)
+            if X.ndim == 2:
                 noise[:, 1::3] = 1.0  # cnv slots exempt (reference :880)
             else:
                 noise[..., 1] = 1.0  # gene-level layout: cnv column
-            m[hit] = noise[hit]
-            xb = xb * m
+            mult[hit] = noise[hit]
+        yield (
+            take,
+            np.concatenate([np.ones(b, bool), np.zeros(pad, bool)]),
+            mult,
+        )
+
+
+def iter_batches(
+    X, Y, ages, idxs, batch_size, rng: np.random.RandomState,
+    shuffle: bool, drop_last: bool,
+    sampler_weights: Optional[np.ndarray] = None,
+    variation_aug: Optional[dict] = None,
+    raw: Optional[np.ndarray] = None,
+):
+    """Batch iterator mirroring the reference DataLoader setups
+    (train.py:309-327). Yields fully-padded Batch pytrees.  The per-step
+    dispatch path; the epoch-scan path consumes epoch_plan directly."""
+    for take, mask, mult in epoch_plan(
+        X, idxs, batch_size, rng, shuffle, drop_last, sampler_weights,
+        variation_aug,
+    ):
+        xb = X[take]
+        if mult is not None:
+            xb = xb * mult
         yield Batch(
             x=jnp.asarray(xb),
             y=jnp.asarray(Y[take]),
             age=jnp.asarray(ages[take]),
-            sample_mask=jnp.asarray(
-                np.concatenate([np.ones(b, bool), np.zeros(pad, bool)])
-            ),
+            sample_mask=jnp.asarray(mask),
             raw_data=jnp.asarray(raw[take]) if raw is not None else None,
         )
 
@@ -270,6 +298,14 @@ def run_fold(
     params, opt_state = fns.init_state(rng_key, init_batch, ctx, steps_per_epoch)
     jax.block_until_ready(params)
     _mark("init_state")
+    if cfg.model == "deepergcn" and (cfg.all_init or cfg.head_init):
+        # reference init_weight / head-only xavier re-init at construction
+        # (deepergcn.py:169-175); all_init defaults on like the reference
+        from multilevel_gnn_tpu.models.deepergcn import apply_init_weight
+
+        params = apply_init_weight(
+            params, jax.random.fold_in(rng_key, 7), head_only=not cfg.all_init
+        )
     if cfg.init_with_pca and fold.pca_seed is not None:
         params = seed_pca_params(params, jnp.asarray(fold.pca_seed))
     if pretrained_params is not None:
@@ -345,31 +381,110 @@ def run_fold(
         "run %d fold %d: host prep+init %.2fs (%s)", run_i, fold_i,
         time.time() - t_prep0, ", ".join(_parts),
     )
+    # ---- device-side epoch scan (cfg.epoch_scan, single-device path) ----
+    # one compiled dispatch per train epoch + one per eval pass instead of
+    # one per step; semantics-identical (same epoch_plan host RNG, same
+    # fold_in(rng_key, step) stream) — tests/test_epoch_scan.py
+    use_scan = (
+        bool(cfg.epoch_scan) and mesh is None and fns.train_epoch is not None
+    )
+    if use_scan:
+        dev_data = {
+            "X": jnp.asarray(X),
+            "Y": jnp.asarray(Y),
+            "ages": jnp.asarray(ages),
+        }
+        if raw is not None:
+            dev_data["raw"] = jnp.asarray(raw)
+
+        def _eval_plan(idx):
+            plan = list(
+                epoch_plan(
+                    X, idx, cfg.batch_size, np.random.RandomState(0),
+                    False, False,
+                )
+            )
+            take = np.stack([p[0] for p in plan]).astype(np.int32)
+            m = np.stack([p[1] for p in plan])
+            return jnp.asarray(take), jnp.asarray(m), len(plan)
+
+        # valid + test share ONE scan per epoch (fixed, shuffle-free plans)
+        vtake, vmask, n_v = _eval_plan(valid_idx)
+        ttake, tmask, n_t = _eval_plan(test_idx)
+        ev_take = jnp.concatenate([vtake, ttake])
+        ev_mask = jnp.concatenate([vmask, tmask])
+        ev_mask_h = np.asarray(ev_mask)
+
+        def _scan_eval(params):
+            preds, losses = fns.eval_scan(
+                params, dev_data, ev_take, ev_mask, ctx
+            )
+            preds, losses = np.asarray(preds), np.asarray(losses)
+            out = []
+            for idx, s, e in (
+                (valid_idx, 0, n_v), (test_idx, n_v, n_v + n_t),
+            ):
+                p = preds[s:e][ev_mask_h[s:e]]
+                auc, acc, y_true, score0 = M.eval_scores(Y[np.asarray(idx)], p)
+                out.append(
+                    (auc, acc, y_true, score0, float(losses[s:e].mean()))
+                )
+            return out
+
     epoch_times: List[float] = []
     for epoch in range(start_epoch, cfg.epochs + 1):
         epoch_t0 = time.time()
-        for batch in iter_batches(
-            X, Y, ages, train_idx, cfg.batch_size, np_rng, shuffle, drop_last,
-            sampler_weights, variation, raw=raw,
-        ):
-            if mesh is not None:
-                from multilevel_gnn_tpu.parallel import shard_batch
-
-                batch = shard_batch(batch, mesh)
-            step_rng = jax.random.fold_in(rng_key, step_i)
-            params, opt_state, loss = fns.train_step(
-                params, opt_state, batch, ctx, class_weight, step_rng
+        if use_scan:
+            plan = list(
+                epoch_plan(
+                    X, train_idx, cfg.batch_size, np_rng, shuffle, drop_last,
+                    sampler_weights, variation,
+                )
             )
-            step_i += 1
+            if plan:
+                take = np.stack([p[0] for p in plan]).astype(np.int32)
+                maskp = np.stack([p[1] for p in plan])
+                mult = (
+                    jnp.asarray(np.stack([p[2] for p in plan]))
+                    if variation is not None
+                    else None
+                )
+                sidx = np.arange(step_i, step_i + len(plan), dtype=np.int32)
+                params, opt_state, _ = fns.train_epoch(
+                    params, opt_state, dev_data, jnp.asarray(take),
+                    jnp.asarray(maskp), mult, jnp.asarray(sidx), ctx,
+                    class_weight, rng_key,
+                )
+                step_i += len(plan)
+        else:
+            for batch in iter_batches(
+                X, Y, ages, train_idx, cfg.batch_size, np_rng, shuffle,
+                drop_last, sampler_weights, variation, raw=raw,
+            ):
+                if mesh is not None:
+                    from multilevel_gnn_tpu.parallel import shard_batch
 
-        valid_auc, valid_acc, _, _, valid_loss = evaluate(
-            fns, params, ctx, X, Y, ages, valid_idx, cfg.batch_size, raw=raw,
-            mesh=mesh,
-        )
-        test_auc, test_acc, y_true_test, test_score, test_loss = evaluate(
-            fns, params, ctx, X, Y, ages, test_idx, cfg.batch_size, raw=raw,
-            mesh=mesh,
-        )
+                    batch = shard_batch(batch, mesh)
+                step_rng = jax.random.fold_in(rng_key, step_i)
+                params, opt_state, loss = fns.train_step(
+                    params, opt_state, batch, ctx, class_weight, step_rng
+                )
+                step_i += 1
+
+        if use_scan:
+            (
+                (valid_auc, valid_acc, _, _, valid_loss),
+                (test_auc, test_acc, y_true_test, test_score, test_loss),
+            ) = _scan_eval(params)
+        else:
+            valid_auc, valid_acc, _, _, valid_loss = evaluate(
+                fns, params, ctx, X, Y, ages, valid_idx, cfg.batch_size,
+                raw=raw, mesh=mesh,
+            )
+            test_auc, test_acc, y_true_test, test_score, test_loss = evaluate(
+                fns, params, ctx, X, Y, ages, test_idx, cfg.batch_size,
+                raw=raw, mesh=mesh,
+            )
         valid_eval = valid_auc if cfg.metrics == "auc" else valid_acc
         if valid_loss < results["highest_valid_loss"]:
             results["highest_valid_loss"] = valid_loss
@@ -435,6 +550,58 @@ def run_fold(
     )
 
 
+class _DaemonPrefetcher:
+    """1-worker prefetch executor on a DAEMON thread.
+
+    concurrent.futures' ThreadPoolExecutor registers an atexit hook that
+    joins its (non-daemon) workers, so a KeyboardInterrupt mid-experiment
+    would hang interpreter exit for the duration of an in-flight MI/PCA
+    fold derivation.  A daemon worker dies with the process instead; the
+    submit/result surface mirrors the executor subset the driver uses."""
+
+    class _Future:
+        def __init__(self, ev, box):
+            self._ev, self._box = ev, box
+
+        def result(self):
+            self._ev.wait()
+            if "e" in self._box:
+                raise self._box["e"]
+            return self._box["r"]
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q = queue.Queue()
+        self._t = threading.Thread(
+            target=self._run, daemon=True, name="fold-prefetch"
+        )
+        self._t.start()
+
+    def submit(self, fn, *args):
+        import threading
+
+        ev, box = threading.Event(), {}
+        self._q.put((fn, args, ev, box))
+        return self._Future(ev, box)
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            fn, args, ev, box = item
+            try:
+                box["r"] = fn(*args)
+            except BaseException as e:  # surfaced via Future.result
+                box["e"] = e
+            ev.set()
+
+    def shutdown(self, wait=False, cancel_futures=True):
+        self._q.put(None)
+
+
 def run_experiment(
     cfg: Config, cohort: Cohort, pretrained_params=None,
     pretrain: Optional[str] = None, pretrain_epochs: Optional[int] = None,
@@ -491,11 +658,9 @@ def run_experiment(
         tr, va = inner[0]
         return tune[tr], tune[va], test_idx
 
-    from concurrent.futures import ThreadPoolExecutor
-
     setup_cache: Dict = {}
     pending: Dict = {}
-    executor = ThreadPoolExecutor(1) if cfg.fold_prefetch else None
+    executor = _DaemonPrefetcher() if cfg.fold_prefetch else None
 
     def _setup_key(fold_i, train_idx):
         return (fold_i, np.asarray(train_idx).tobytes())
@@ -543,6 +708,12 @@ def run_experiment(
                         "run %d fold %d: loaded completed result",
                         run_i, fold_i,
                     )
+                    # a resumed run skipping this fold still prefetches the
+                    # NEXT fold's derivation so the first fold that does
+                    # train keeps the setup/compute overlap
+                    if fold_i + 1 < len(outer):
+                        nxt, _, _ = _fold_indices(outer, fold_i + 1)
+                        _prefetch(fold_i + 1, nxt)
                 else:
                     prepared = _get_setup(fold_i, train_idx)
                     if fold_i + 1 < len(outer):

@@ -161,6 +161,12 @@ class TrainFns:
     train_step: Callable
     eval_step: Callable
     init_state: Callable
+    # device-side epoch scan (one dispatch per EPOCH instead of per step):
+    # lax.scan over an epoch_plan's stacked (take, mask, mult) arrays with
+    # on-device row gathers — kills the per-step dispatch+optimizer residue
+    # (~4 ms/step measured on the v5e remote tunnel, 20% of the r2 step)
+    train_epoch: Callable = None
+    eval_scan: Callable = None
 
 
 def make_loss_fn(model, cfg: Config) -> Callable:
@@ -216,6 +222,72 @@ def build_train_fns(model, cfg: Config) -> TrainFns:
         )
         return pred, loss
 
+    def _gather_batch(data, take, mask, mult):
+        xb = jnp.take(data["X"], take, axis=0)
+        if mult is not None:
+            xb = xb * mult
+        raw = data.get("raw")
+        return Batch(
+            x=xb,
+            y=jnp.take(data["Y"], take, axis=0),
+            age=jnp.take(data["ages"], take, axis=0),
+            sample_mask=mask,
+            raw_data=jnp.take(raw, take, axis=0) if raw is not None else None,
+        )
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_epoch(
+        params, opt_state, data, take, mask, mult, step_idx, ctx,
+        class_weight, rng0,
+    ):
+        """One EPOCH of train steps as a single compiled lax.scan.
+
+        data: {"X": (n, ...), "Y", "ages"[, "raw"]} device-resident full
+        arrays; take/mask (S, B) and mult (S, B, ...)|None come from
+        driver.epoch_plan (host RNG), step_idx (S,) carries the global
+        step counter so jax.random.fold_in(rng0, step) matches the
+        per-step path bit-for-bit."""
+
+        def body(carry, xs):
+            p, o = carry
+            take_s, mask_s, si = xs[0], xs[1], xs[2]
+            mult_s = xs[3] if len(xs) > 3 else None
+            batch = _gather_batch(data, take_s, mask_s, mult_s)
+            rng = jax.random.fold_in(rng0, si)
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, batch, ctx, class_weight, rng
+            )
+            updates, o = _tx[0].update(grads, o, p)
+            p = optax.apply_updates(p, updates)
+            return (p, o), loss
+
+        xs = (take, mask, step_idx) + ((mult,) if mult is not None else ())
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), xs
+        )
+        return params, opt_state, losses
+
+    @jax.jit
+    def eval_scan(params, data, take, mask, ctx):
+        """All of a split's (or several splits', concatenated) eval batches
+        in one compiled scan: preds (S, B, 2) + per-batch losses (S,)."""
+        ecfg = cfg.replace(
+            weight_balance=False, weighted_loss=False,
+            batch_weighted_loss=False,
+        )
+
+        def body(_, xs):
+            take_s, mask_s = xs
+            batch = _gather_batch(data, take_s, mask_s, None)
+            pred = model.apply(params, batch, ctx, False)[0]
+            loss = classification_loss(
+                pred, batch.y, None, batch.sample_mask, ecfg
+            )
+            return None, (pred, loss)
+
+        _, (preds, losses) = jax.lax.scan(body, None, (take, mask))
+        return preds, losses
+
     _tx = [None]
 
     # jitted: eager flax init dispatches thousands of small ops, which on
@@ -234,4 +306,4 @@ def build_train_fns(model, cfg: Config) -> TrainFns:
         opt_state = _jit_opt_init[0](params)
         return params, opt_state
 
-    return TrainFns(train_step, eval_step, init_state)
+    return TrainFns(train_step, eval_step, init_state, train_epoch, eval_scan)

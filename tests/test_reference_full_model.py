@@ -372,13 +372,20 @@ def test_pathcnn_vs_reference(rng):
     )
 
 
-def test_deepergcn_vs_reference(rng):
+@pytest.mark.parametrize(
+    "block,no_inter_norm",
+    [("res+", False), ("res+", True), ("plain", False), ("plain", True)],
+)
+def test_deepergcn_vs_reference(rng, block, no_inter_norm):
     """DeeperGCN (reference models/deepergcn.py:17-323) forward parity:
     linear encoders + node-embedding lookup (incl. the pathway-rows->
     embedding-row-0 quirk), one-hot pathway-edge Embedding, per-conv
-    edge re-encoding (conv_encode_edge), vnode feature injection, res+
-    GENConv stack with inter layer-norms, maxpool-4 readout with
-    pre-concat age, and the softmax head."""
+    edge re-encoding (conv_encode_edge), vnode feature injection, res+ /
+    plain GENConv stacks with inter layer-norms (and the no_inter_norm
+    gate, reference :236-246,270-278), maxpool-4 readout with
+    pre-concat age, and the softmax head.  no_inter_drop is
+    training-mode-only (dropout is off in eval) — covered by
+    test_deepergcn_no_inter_drop."""
     from models.deepergcn import DeeperGCN as RefDeeperGCN
 
     from multilevel_gnn_tpu.data.synthetic import make_synthetic_cohort
@@ -389,7 +396,8 @@ def test_deepergcn_vs_reference(rng):
         model="deepergcn",
         conv="gen",
         gcn_aggr="softmax",
-        block="res+",
+        block=block,
+        no_inter_norm=no_inter_norm,
         num_layers=3,
         hidden_channels=16,
         mlp_layers=2,
@@ -440,12 +448,12 @@ def test_deepergcn_vs_reference(rng):
         "pre_readout_drop", "pre_concat_age",
     ):
         setattr(args, f, getattr(cfg, f))
-    # flags our Config accepts-but-ignores (reference opt.py:188-191
-    # defaults); our DeeperGCN implements the default behavior
     args.no_inter_drop = False
-    args.no_inter_norm = False
+    args.no_inter_norm = no_inter_norm
     args.head_init = False
-    args.all_init = True
+    # params are mirrored from flax below, so the torch-side re-init is
+    # irrelevant to parity — keep it off to avoid extra RNG draws
+    args.all_init = False
     ref = RefDeeperGCN(args)
     ref.eval()
 

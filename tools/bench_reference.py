@@ -121,6 +121,10 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--ours-cpu", action="store_true",
                     help="also time OUR train step on CPU, same scale")
+    ap.add_argument("--ours-prep", action="store_true",
+                    help="also time OUR cohort load + fold derivation on "
+                         "the SAME fixture files / scale as the reference "
+                         "preprocessing anchor")
     ap.add_argument("--dir", default="/tmp/bench_reference_fixture")
     args = ap.parse_args()
 
@@ -145,6 +149,35 @@ def main():
     rargs, dataset = ref["args"], ref["dataset"]
     assert rargs.node_num + N_PATH == 5135
 
+    if args.ours_prep:
+        # our side of the preprocessing anchor: SAME fixture files, same
+        # 40-patient scale (ADVICE r2 #4 — the old table compared the
+        # reference's 40-patient prep against our full-scale derivation)
+        from multilevel_gnn_tpu.core.config import Config
+        from multilevel_gnn_tpu.data.loaders import load_cohort_from_files
+
+        cfg = Config(
+            epochs=2, num_run=1,
+            **{**SHARED, "pathway_num": N_PATH, **GBM_PROTOCOL},
+        )
+        for tag in ("cold", "warm"):
+            t0 = time.perf_counter()
+            cohort = load_cohort_from_files(
+                f"{args.dir}/raw_mrna.csv",
+                f"{args.dir}/raw_cnv.csv",
+                f"{args.dir}/raw_methylation.csv",
+                f"{args.dir}/clinical.pkl",
+                f"{args.dir}/kegg.csv",
+                f"{args.dir}/pathways.txt",
+                f"{args.dir}/grn_edges.tsv",
+                cfg,
+            )
+            cohort.fold(np.asarray(ref["train_idx"]), 0)
+            emit(f"ours_preprocess_{tag}_s", time.perf_counter() - t0, "s",
+                 note=f"cohort load + fold-0 derivation, SAME fixture as "
+                      f"reference_preprocess_s ({N_PATIENTS} patients, "
+                      f"{N_PATH} pathways, {FIXTURE_EDGES} edges)")
+
     # ---- 2. reference train()/eval() at GBM-REAL graph scale ----
     n_nodes = rargs.node_num + N_PATH  # 5135 per-omics rows; graph space
     # the reference edge space is the 5135-node per-patient graph
@@ -157,7 +190,10 @@ def main():
         rng.random((e,) + tuple(proto_attr.shape[1:]), dtype=np.float32)
     ).to(proto_attr.dtype)
 
-    idxs = list(range(args.batch))
+    n_pat = len(dataset)
+    # wrap around the fixture's patient count so --batch > n_patients
+    # oversamples instead of raising IndexError
+    idxs = [i % n_pat for i in range(args.batch)]
     datas = [dataset[int(i)] for i in idxs]
     batch = _RefBatch(datas, edge_index, edge_attr)
     loader = _OneBatchLoader(batch)
