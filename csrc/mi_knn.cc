@@ -36,6 +36,19 @@ static inline double skdist(double a, double b) {
   return std::sqrt(d * d);
 }
 
+// sklearn BRUTE kneighbors rounding (pairwise-distances-reduction
+// EuclideanArgKmin): squared distance via the GEMM expansion
+// fl(fl(fl(a^2) + fl(-2 * fl(a*b))) + fl(b^2)), clamped at 0, then sqrt.
+// NearestNeighbors(algorithm='auto') picks this path whenever
+// k >= n_fit // 2 (neighbors/_base.py), which is every tiny class —
+// verified bit-exact against sklearn over 3000 random classes
+// (tests/test_native_mi.py::test_mi_classif_tiny_class_brute_regime).
+static inline double skdist_brute(double a, double b) {
+  double mid = -2.0 * (a * b);  // *2 is exact; one rounding in a*b
+  double d2 = (a * a + mid) + b * b;
+  return std::sqrt(d2 > 0.0 ? d2 : 0.0);
+}
+
 // One feature: x (n,) values, y (n,) class codes in [0, n_classes),
 // counts per class precomputed.  digamma_tab[i] = scipy digamma(i).
 double mi_cd_one(const double* x, const int32_t* y, long n, int n_classes,
@@ -64,26 +77,41 @@ double mi_cd_one(const double* x, const int32_t* y, long n, int n_classes,
   radius.assign(n, -1.0);  // -1 = dropped (singleton class)
   kept_k.assign(n, 0);
   std::vector<long> pos(n_classes, 0);
+  std::vector<double> brute_d;  // scratch for the brute regime
   for (long i = 0; i < n; ++i) {
     int c = ys[i];
     long cnt = class_count[c];
     long j = pos[c]++;  // index of this point within its class list
     if (cnt <= 1) continue;
     int k = (int)std::min<long>(k_neighbors, cnt - 1);
-    // k-th smallest distance among class neighbors of a sorted array:
-    // merge from both sides
     const std::vector<double>& cx = class_xs[c];
-    long li = j - 1, ri = j + 1;
     double kth = 0.0;
-    for (int step = 0; step < k; ++step) {
-      double dl = li >= 0 ? cx[j] - cx[li] : HUGE_VAL;
-      double dr = ri < (long)cx.size() ? cx[ri] - cx[j] : HUGE_VAL;
-      if (dl <= dr) {
-        kth = skdist(cx[j], cx[li]);
-        --li;
-      } else {
-        kth = skdist(cx[ri], cx[j]);
-        ++ri;
+    if (k >= cnt / 2) {
+      // sklearn auto-algorithm BRUTE regime (k >= n_fit // 2): GEMM-
+      // expansion rounding, self excluded by INDEX (kneighbors with
+      // X=None), k-th smallest by value
+      brute_d.clear();
+      for (long l = 0; l < cnt; ++l) {
+        if (l == j) continue;
+        brute_d.push_back(skdist_brute(cx[j], cx[l]));
+      }
+      std::nth_element(brute_d.begin(), brute_d.begin() + (k - 1),
+                       brute_d.end());
+      kth = brute_d[k - 1];
+    } else {
+      // KDTree regime: k-th smallest distance among class neighbors of a
+      // sorted array — merge from both sides
+      long li = j - 1, ri = j + 1;
+      for (int step = 0; step < k; ++step) {
+        double dl = li >= 0 ? cx[j] - cx[li] : HUGE_VAL;
+        double dr = ri < (long)cx.size() ? cx[ri] - cx[j] : HUGE_VAL;
+        if (dl <= dr) {
+          kth = skdist(cx[j], cx[li]);
+          --li;
+        } else {
+          kth = skdist(cx[ri], cx[j]);
+          ++ri;
+        }
       }
     }
     radius[i] = std::nextafter(kth, 0.0);

@@ -186,18 +186,33 @@ class Cohort:
     # ------------------------------------------------------------------ #
     # static tables
     # ------------------------------------------------------------------ #
+    def _omics_cols(self, omics_name: str):
+        """Per-omics column cache: (values (cols, n_pca) contiguous rows,
+        int column ids, id -> row index, NaN-free mask).  One reindex per
+        omics instead of one per (pathway, gene) — the pandas per-column
+        loop cost 52 s of the 40-patient reference-format load."""
+        if not hasattr(self, "_omics_cache"):
+            self._omics_cache = {}
+        if omics_name not in self._omics_cache:
+            df = self.omics_raw[omics_name]
+            sub = df.reindex(self.pca_patients)
+            # transpose so each COLUMN of the frame is a contiguous row —
+            # ndarray.sum's pairwise blocking then matches what pandas
+            # Series.mean()/std() computed on the extracted column
+            colT = np.ascontiguousarray(sub.to_numpy(np.float64).T)
+            cols_int = df.columns.map(int).to_numpy()
+            colidx = {int(c): i for i, c in enumerate(cols_int)}
+            nanfree = ~np.isnan(colT).any(axis=1)
+            self._omics_cache[omics_name] = (colT, cols_int, colidx, nanfree)
+        return self._omics_cache[omics_name]
+
     def _pathway_columns(self, pathway: str, omics_name: str) -> List[str]:
         """Sorted entrez columns of this pathway present & NaN-free in the
         omics frame (reference np.intersect1d + dropna, :413-420)."""
-        df = self.omics_raw[omics_name]
+        colT, cols_int, colidx, nanfree = self._omics_cols(omics_name)
         entrez = self.kegg[self.kegg["PathwayID"] == pathway].Entrezid.unique()
-        cols_int = np.intersect1d(
-            entrez.astype(int), df.columns.map(int).to_numpy()
-        )
-        cols = [str(c) for c in cols_int]
-        sub = df[cols].reindex(self.pca_patients)
-        keep = [c for c in cols if not sub[c].isna().any()]
-        return keep
+        inter = np.intersect1d(entrez.astype(int), cols_int)
+        return [str(c) for c in inter if nanfree[colidx[int(c)]]]
 
     def _build_pca_table(self):
         """Fixed (pathway, omics, gene) row table + raw_datas matrix."""
@@ -222,23 +237,22 @@ class Cohort:
         self.raw_indice = np.array([r.slot for r in rows], np.int32)
 
         # raw_datas: mean-centered per-column values for the PCA population
-        # (reference :437) and the training-feature matrix for MI
-        mats = []
-        for r in rows:
-            col = self.omics_raw[OMICS[r.omics]][str(r.entrez)].reindex(
-                self.pca_patients
-            )
-            mats.append((col - col.mean()).to_numpy())
-        self.raw_datas = np.stack(mats, axis=1).astype(np.float64)  # (n_pca, G)
-        self.gene_std_value = np.array(
-            [
-                self.omics_raw[OMICS[r.omics]][str(r.entrez)]
-                .reindex(self.pca_patients)
-                .std()
-                for r in rows
-            ],
-            np.float32,
-        )
+        # (reference :437) and the training-feature matrix for MI.
+        # Vectorized gather from the per-omics cache; the mean/std
+        # formulas replicate pandas nanops on NaN-free contiguous columns
+        # bit-for-bit (mean = sum/n; var uses (avg - values)**2, ddof=1).
+        n_pca = len(self.pca_patients)
+        mats = np.empty((len(rows), n_pca), np.float64)
+        stds = np.empty(len(rows), np.float64)
+        for i, r in enumerate(rows):
+            colT, _, colidx, _ = self._omics_cols(OMICS[r.omics])
+            col = colT[colidx[r.entrez]]
+            mean = col.sum() / n_pca
+            mats[i] = col - mean
+            var = ((mean - col) ** 2).sum() / (n_pca - 1)
+            stds[i] = np.sqrt(var)
+        self.raw_datas = np.ascontiguousarray(mats.T)  # (n_pca, G)
+        self.gene_std_value = stds.astype(np.float32)
         self.tf_token = np.array(
             [
                 (str(r.omics) in self.cfg.remain_tf_nums)

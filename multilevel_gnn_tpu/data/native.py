@@ -77,25 +77,22 @@ def mi_classif(x, y, n_neighbors: int = 3, random_state=None, n_threads=0):
 
     x = np.asarray(x, np.float64).copy()
     n, g = x.shape
-    # sklearn picks BRUTE kneighbors when k_eff >= class_count // 2
-    # (neighbors/_base.py auto rule), whose GEMM-expansion euclidean
-    # rounds differently from the KDTree sqrt((a-b)^2) this core
-    # replicates — only degenerate tiny classes hit it, so route those
-    # whole calls to sklearn and keep the native path value-exact.
-    counts = np.bincount(np.unique(np.asarray(y), return_inverse=True)[1])
-    if any(
-        c > 1 and min(int(n_neighbors), c - 1) >= c // 2 for c in counts
-    ):
-        from sklearn.feature_selection import mutual_info_classif
-
-        return mutual_info_classif(
-            x, y, n_neighbors=n_neighbors, random_state=random_state
-        )
-    # sklearn _estimate_mi preprocessing, same op order + same RNG draws
+    # NOTE: sklearn picks BRUTE kneighbors when k_eff >= class_count // 2
+    # (neighbors/_base.py auto rule), whose GEMM-expansion euclidean rounds
+    # differently from KDTree's sqrt((a-b)^2).  The C++ core replicates
+    # BOTH regimes bit-exactly (csrc/mi_knn.cc skdist_brute), so tiny
+    # classes no longer fall back to sklearn wholesale (which cost ~60 s
+    # at 40 patients x 25k features — the r2 same-scale prep anchor).
+    # sklearn _estimate_mi preprocessing, same op order + same RNG draws.
+    # The continuous_mask fancy index matters: X[:, bool_mask] returns an
+    # F-CONTIGUOUS copy, and np.nanstd's pairwise summation order differs
+    # between C and F layouts by ~1 ulp — enough to flip nextafter-shrunk
+    # radius counts.  Replicate the exact op sequence, mask included.
     rng = check_random_state(random_state)
-    x = scale(x, with_mean=False, copy=False)
-    means = np.maximum(1, np.mean(np.abs(x), axis=0))
-    x += 1e-10 * means * rng.standard_normal(size=(n, g))
+    cm = np.ones(g, bool)
+    x[:, cm] = scale(x[:, cm], with_mean=False, copy=False)
+    means = np.maximum(1, np.mean(np.abs(x[:, cm]), axis=0))
+    x[:, cm] += 1e-10 * means * rng.standard_normal(size=(n, g))
 
     _, codes = np.unique(np.asarray(y), return_inverse=True)
     codes = np.ascontiguousarray(codes, np.int32)
@@ -138,11 +135,14 @@ def mi_regression(x, y, n_neighbors: int = 3, random_state=None,
     x = np.asarray(x, np.float64).copy()
     n, g = x.shape
     # sklearn _estimate_mi preprocessing, same op order + same RNG draws:
-    # X noise first (n x g), then y noise (n)
+    # X noise first (n x g), then y noise (n).  The boolean-mask fancy
+    # index is layout-significant (F-order copy -> different nanstd
+    # summation order); see mi_classif.
     rng = check_random_state(random_state)
-    x = scale(x, with_mean=False, copy=False)
-    means = np.maximum(1, np.mean(np.abs(x), axis=0))
-    x += 1e-10 * means * rng.standard_normal(size=(n, g))
+    cm = np.ones(g, bool)
+    x[:, cm] = scale(x[:, cm], with_mean=False, copy=False)
+    means = np.maximum(1, np.mean(np.abs(x[:, cm]), axis=0))
+    x[:, cm] += 1e-10 * means * rng.standard_normal(size=(n, g))
     y = scale(np.asarray(y, np.float64), with_mean=False)
     y = y + 1e-10 * np.maximum(1, np.mean(np.abs(y))) * (
         rng.standard_normal(size=n)

@@ -345,6 +345,10 @@ def halo_gather_scatter(
         xl = x  # node-sharded input: this shard's (.., Nl, C) block
         send_flat = send_idx.reshape(-1)
 
+        # the named scopes land in HLO op metadata so the overlap
+        # precondition — interior compute independent of the exchange — is
+        # machine-checkable in the compiled module (tools/halo_schedule.py,
+        # tests/test_halo.py::test_halo_interior_overlap_independence)
         if use_pallas:
             from multilevel_gnn_tpu.ops import spmm as _spmm
 
@@ -354,40 +358,46 @@ def halo_gather_scatter(
             # interior partial first (overlaps with the all_to_all below);
             # dropped (non-interior / padding) edges are absent from the
             # seg's flat layout, so no runtime masking is needed
-            part = _spmm._fused_spmm_sum(xl, w, s_ext, r_loc, si_f, si_b)
-            send = _spmm.gather_rows(xl, send_flat, s_send)
+            with jax.named_scope("halo_interior"):
+                part = _spmm._fused_spmm_sum(xl, w, s_ext, r_loc, si_f, si_b)
+            with jax.named_scope("halo_exchange"):
+                send = _spmm.gather_rows(xl, send_flat, s_send)
         else:
             def agg(sender_table, sel_mask):
                 msg = jnp.take(sender_table, s_ext, axis=-2) * w
                 return seg_ops.segment_sum(msg, r_loc, Nl, mask=sel_mask)
 
-            part = agg(
-                jnp.concatenate(
-                    [xl,
-                     jnp.zeros(xl.shape[:-2] + (k * H, xl.shape[-1]),
-                               xl.dtype)],
-                    axis=-2,
-                ),
-                emask & interior,
-            )
-            send = jnp.take(xl, send_flat, axis=-2)  # (.., k*H, C)
+            with jax.named_scope("halo_interior"):
+                part = agg(
+                    jnp.concatenate(
+                        [xl,
+                         jnp.zeros(xl.shape[:-2] + (k * H, xl.shape[-1]),
+                                   xl.dtype)],
+                        axis=-2,
+                    ),
+                    emask & interior,
+                )
+            with jax.named_scope("halo_exchange"):
+                send = jnp.take(xl, send_flat, axis=-2)  # (.., k*H, C)
 
-        # halo exchange: send my rows requested by each peer
-        send = jnp.moveaxis(
-            send.reshape(send.shape[:-2] + (k, H, send.shape[-1])), -3, 0
-        )  # (k, .., H, C)
-        recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=False)
-        recv = jnp.moveaxis(recv, 0, -3)  # (.., k, H, C)
-        halo_rows = recv.reshape(
-            recv.shape[:-3] + (k * H, recv.shape[-1])
-        )
-        if use_pallas:
-            part = part + _spmm._fused_spmm_sum(
-                halo_rows, w, jnp.maximum(s_ext - Nl, 0), r_loc, sb_f, sb_b
+        with jax.named_scope("halo_exchange"):
+            # halo exchange: send my rows requested by each peer
+            send = jnp.moveaxis(
+                send.reshape(send.shape[:-2] + (k, H, send.shape[-1])), -3, 0
+            )  # (k, .., H, C)
+            recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=False)
+            recv = jnp.moveaxis(recv, 0, -3)  # (.., k, H, C)
+            halo_rows = recv.reshape(
+                recv.shape[:-3] + (k * H, recv.shape[-1])
             )
-        else:
-            x_ext = jnp.concatenate([xl, halo_rows], axis=-2)
-            part = part + agg(x_ext, emask & ~interior)
+        with jax.named_scope("halo_boundary"):
+            if use_pallas:
+                part = part + _spmm._fused_spmm_sum(
+                    halo_rows, w, jnp.maximum(s_ext - Nl, 0), r_loc, sb_f, sb_b
+                )
+            else:
+                x_ext = jnp.concatenate([xl, halo_rows], axis=-2)
+                part = part + agg(x_ext, emask & ~interior)
 
         if reduce == "mean":
             part = part / jnp.clip(deg, 1.0, None)[:, None]

@@ -212,3 +212,33 @@ def test_halo_pallas_scatter_free(setup_pallas):
         hp_xla = build_halo_partition(g, K)  # positive control
         hlo_xla = jax.jit(jax.grad(loss(hp_xla))).lower(x).as_text()
         assert hlo_xla.count("stablehlo.scatter") > 0
+
+
+def test_halo_interior_overlap_independence():
+    """Overlap precondition (VERDICT r2 Next #6): the HEAVY interior
+    aggregation (segment scatter / Pallas while-loop kernel) must share no
+    dependency path with the boundary all_to_all — neither ancestor nor
+    descendant — in the compiled module, or TPU's latency-hiding scheduler
+    cannot run them concurrently.  Verified on the optimized HLO of the
+    virtual-mesh build for BOTH in-shard kernel families via the
+    named-scope metadata parallel/halo.py plants (tools/halo_schedule.py;
+    schedule evidence recorded in docs/SCALING.md)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(__file__), "..", "tools"),
+    )
+    try:
+        from halo_schedule import analyze, compile_halo_hlo
+    finally:
+        sys.path.pop(0)
+
+    for pallas in (False, True):
+        res = analyze(compile_halo_hlo(pallas=pallas))
+        assert res["all_to_all"], "no all-to-all found in the halo HLO"
+        assert res["interior_heavy"], (
+            "no heavy interior compute identified", res["interior"]
+        )
+        assert res["independent"], res["blocked_heavy"]

@@ -76,3 +76,33 @@ def test_mi_regression_matches_sklearn(rng, n, g, k, seed):
     want = mutual_info_regression(x, y, n_neighbors=k, random_state=seed)
     got = mi_regression(x, y, n_neighbors=k, random_state=seed)
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_mi_classif_tiny_class_brute_regime(rng):
+    """Tiny cohorts put every class in sklearn's BRUTE kneighbors regime
+    (auto picks brute when k >= n_fit // 2), whose GEMM-expansion euclidean
+    rounds ~1 ulp differently from KDTree — the nextafter-shrunk radius
+    makes that ulp decide counts.  The C++ core replicates the brute
+    rounding (csrc/mi_knn.cc skdist_brute), so small-n calls stay native
+    (r2's wholesale sklearn fallback cost ~60 s at 40 x 25k — the
+    same-scale preprocessing anchor of docs/REFERENCE_BASELINE.md)."""
+    from sklearn.feature_selection import mutual_info_classif
+
+    from multilevel_gnn_tpu.data.native import mi_classif
+
+    for n, g, k, seed in ((13, 300, 7, 0), (20, 500, 7, 12345),
+                          (40, 800, 7, 2), (24, 150, 3, 9)):
+        r = np.random.RandomState(seed)
+        x = (r.randn(n, g) * (r.rand(g) * 3)).astype(np.float64)
+        x[:, : g // 4] = np.round(x[:, : g // 4])  # ties
+        y = (r.rand(n) > 0.45).astype(np.int64)
+        want = mutual_info_classif(x, y, n_neighbors=k, random_state=seed)
+        got = mi_classif(x, y, n_neighbors=k, random_state=seed)
+        # identical counts everywhere; residual diffs are digamma
+        # summation-order rounding only
+        np.testing.assert_allclose(
+            got, want, rtol=0, atol=1e-13, err_msg=f"n={n} g={g}"
+        )
+        np.testing.assert_array_equal(
+            got >= got.mean(), want >= want.mean()
+        )
