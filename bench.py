@@ -227,9 +227,10 @@ def bench_cv(seed=0):
 
 def bench_cv_foldparallel(seed=0):
     """Same protocol through the fold-vectorized driver: all 5 folds advance
-    as one vmapped step (train/fold_parallel.py).  Steady-state epoch time
-    covers ALL folds — measured 2026-08-18: ~0.85 s for 5 folds vs
-    0.289 s/fold sequential (~1.7x single-chip throughput)."""
+    as one vmapped step (train/fold_parallel.py).  DIAGNOSTIC arm: since
+    the r3 epoch scan, single-chip fold-parallel is dominated (measured
+    2026-08-19: 62 s vs 24 s sequential CV wall) — its regime is unit
+    sharding over >1 device (fold_parallel.recommended_arm)."""
     from multilevel_gnn_tpu.core.config import Config
     from multilevel_gnn_tpu.data.synthetic import make_synthetic_cohort
     from multilevel_gnn_tpu.train.fold_parallel import (
@@ -354,6 +355,11 @@ def main():
                 extras["train_step_cohort_xla_ms"]
                 / extras["train_step_cohort_shipped_ms"]
             )
+            # promoted alias (VERDICT r2 #10): the shipped-stack step is
+            # the headline; make it unmissable next to `value`
+            extras["train_step_shipped_ms"] = extras[
+                "train_step_cohort_shipped_ms"
+            ]
     except Exception as e:
         print(f"cohort-topology step bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
@@ -377,8 +383,8 @@ def main():
     if os.environ.get("MGTPU_BENCH_FAST") != "1" and remaining > 600:
         try:
             cv_s, epoch_s = bench_cv(seed=seed)
-            extras["cv_s"] = cv_s
-            extras["epoch_s"] = epoch_s
+            extras["cv_s"] = extras["cv_wall_s"] = cv_s
+            extras["epoch_s"] = extras["epoch_median_s"] = epoch_s
             print(f"synthetic CV (1x5 folds, 10 epochs): {cv_s:.0f} s, "
                   f"median epoch {epoch_s:.2f} s", file=sys.stderr)
         except Exception as e:

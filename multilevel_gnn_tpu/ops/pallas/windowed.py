@@ -363,12 +363,17 @@ def build_plan(
     te: int = 256,
     Wb: int = 512,
     nwin: int = 2,
+    res_len: Optional[int] = None,
+    tres_len: Optional[int] = None,
 ) -> WindowedPlan:
     """Build the full windowed plan (forward + transpose + residuals).
 
     senders/receivers: (E,) host arrays in ORIGINAL node ids and original
     edge order (edge weights are later flattened by original edge id).
     perm: optional old->new node relabeling (see choose_node_perm).
+    res_len/tres_len: force the (bucketed) residual array lengths — used
+    by parallel/halo.py to make per-shard plans stack with uniform
+    statics inside one shard_map program.
     """
     senders = np.asarray(senders, np.int64)
     receivers = np.asarray(receivers, np.int64)
@@ -412,12 +417,15 @@ def build_plan(
     # by SortedSegments as padding)
     RES_BUCKET = 512
 
-    def pad_idx(idx):
+    def pad_idx(idx, forced=None):
         n = max(_round_up(max(len(idx), 1), RES_BUCKET), RES_BUCKET)
+        if forced is not None:
+            assert forced >= n, (forced, n)
+            n = forced
         return np.concatenate([idx, np.full(n - len(idx), E, np.int64)])
 
-    res_idx = pad_idx(res.astype(np.int64))
-    tres_idx = pad_idx(tres.astype(np.int64))
+    res_idx = pad_idx(res.astype(np.int64), res_len)
+    tres_idx = pad_idx(tres.astype(np.int64), tres_len)
 
     def ids_for(base, idx):
         out = np.full(len(idx), num_nodes, np.int64)

@@ -89,6 +89,12 @@ class HaloPartition:
     seg_bnd_fwd: Optional[object] = None  # boundary edges by receiver
     seg_bnd_bwd: Optional[object] = None  # boundary edges by halo slot
     seg_send: Optional[object] = None  # send-gather transpose (by local row)
+    # optional per-shard WindowedPlan (stacked, uniform statics): the
+    # INTERIOR aggregation rides the locality-blocked windowed kernel —
+    # the single-chip winner (VERDICT r2 #9); window ranges are
+    # ownership-local by construction.  Boundary edges stay on the flat
+    # kernel (halo slots have no locality).
+    win_plan: Optional[object] = None
 
 
 def _stack_segments(segs):
@@ -165,10 +171,172 @@ def _local_segments(seg):
     )
 
 
+def _pad_winside(side, Cm: int, S_max: tuple, num_nodes: int, te: int,
+                 n_edges: int):
+    """Pad one _WinSide to uniform statics: n_chunks -> Cm (all-sentinel
+    padding chunks inserted BEFORE the trailing sentinel chunk, so existing
+    step chunk indices stay valid) and each step-variant length to
+    S_max[v] (padded with copies of the FINAL mm step — idempotent: it
+    re-emits the last tile's last feature block from the unchanged A
+    scratch)."""
+    import dataclasses as _dc
+
+    Cw = side.n_chunks
+    pad = Cm - Cw
+    ids3d = np.asarray(side.ids3d)
+    off3d = np.asarray(side.srcoff3d)
+    bases = np.asarray(side.chunk_base)
+    perm_pad = np.asarray(side.perm_pad)
+    if pad:
+        sent_ids = np.full((pad, te // 128, 128), num_nodes, ids3d.dtype)
+        # the existing sentinel chunk (index Cw) carries the correct
+        # offset sentinel — replicate it
+        sent_off = np.repeat(off3d[Cw:Cw + 1], pad, axis=0)
+        ids3d = np.concatenate([ids3d[:Cw], sent_ids, ids3d[Cw:]])
+        off3d = np.concatenate([off3d[:Cw], sent_off, off3d[Cw:]])
+        bases = np.concatenate(
+            [bases[:Cw], np.zeros(pad, bases.dtype), bases[Cw:]]
+        )
+        perm_pad = np.concatenate(
+            [perm_pad, np.full(pad * te, n_edges, perm_pad.dtype)]
+        )
+    steps = []
+    for v, (st, sm, sc, sf, sw) in enumerate(side.steps):
+        st, sm, sc, sf, sw = (np.asarray(a) for a in (st, sm, sc, sf, sw))
+        if pad:
+            sc = np.where(sc == Cw, Cm, sc)  # sentinel chunk moved
+        extra = S_max[v] - len(st)
+        if extra:
+            assert sm[-1] == 1, "final step must be an mm emit"
+            st = np.concatenate([st, np.full(extra, st[-1], st.dtype)])
+            sm = np.concatenate([sm, np.ones(extra, sm.dtype)])
+            sc = np.concatenate([sc, np.full(extra, Cm, sc.dtype)])
+            sf = np.concatenate([sf, np.full(extra, sf[-1], sf.dtype)])
+            sw = np.concatenate([sw, np.full(extra, sw[-1], sw.dtype)])
+        steps.append((st, sm, sc, sf, sw))
+    return _dc.replace(
+        side,
+        ids3d=ids3d, srcoff3d=off3d, chunk_base=bases, perm_pad=perm_pad,
+        steps=tuple(tuple(a for a in s) for s in steps),
+        n_chunks=Cm,
+    ), steps
+
+
+def _stack_plans(plans):
+    """Stack per-shard WindowedPlans (leading (k,) axis, uniform statics):
+    pad chunk counts / step lengths / residual arrays to the max over
+    shards; SortedSegments ride _stack_segments.  perm must be None (halo
+    shards keep the ownership-local row order)."""
+    import dataclasses as _dc
+    import jax.numpy as _jnp
+
+    from multilevel_gnn_tpu.ops.pallas.windowed import WindowedPlan, _WinSide
+
+    p0 = plans[0]
+    assert all(
+        p.num_nodes == p0.num_nodes
+        and p.n_edges == p0.n_edges
+        and p.fwd.n_tiles == p0.fwd.n_tiles
+        and p.te == p0.te and p.tn == p0.tn
+        and p.Wb == p0.Wb and p.nwin == p0.nwin
+        and p.n_win_rows == p0.n_win_rows
+        for p in plans
+    )
+    assert all(p.perm is None for p in plans)
+
+    def stack_side(get):
+        sides = [get(p) for p in plans]
+        Cm = max(s.n_chunks for s in sides)
+        S_max = tuple(
+            max(len(np.asarray(s.steps[v][0])) for s in sides)
+            for v in range(len(sides[0].steps))
+        )
+        padded, step_arrays = [], []
+        for s in sides:
+            ps, steps = _pad_winside(
+                s, Cm, S_max, p0.num_nodes, p0.te, p0.n_edges
+            )
+            padded.append(ps)
+            step_arrays.append(steps)
+        return _WinSide(
+            ids3d=_jnp.asarray(np.stack([np.asarray(s.ids3d) for s in padded])),
+            srcoff3d=_jnp.asarray(
+                np.stack([np.asarray(s.srcoff3d) for s in padded])
+            ),
+            chunk_base=_jnp.asarray(
+                np.stack([np.asarray(s.chunk_base) for s in padded])
+            ),
+            perm_pad=_jnp.asarray(
+                np.stack([np.asarray(s.perm_pad) for s in padded])
+            ),
+            win_lo=_jnp.asarray(
+                np.stack([np.asarray(s.win_lo) for s in padded])
+            ),
+            steps=tuple(
+                tuple(
+                    _jnp.asarray(
+                        np.stack([step_arrays[i][v][j] for i in range(len(padded))])
+                    )
+                    for j in range(5)
+                )
+                for v in range(len(padded[0].steps))
+            ),
+            n_tiles=padded[0].n_tiles,
+            n_chunks=Cm,
+        )
+
+    def stack_idx(get):
+        idxs = [np.asarray(get(p)) for p in plans]
+        L = max(len(i) for i in idxs)
+        return _jnp.asarray(
+            np.stack([
+                np.concatenate(
+                    [i, np.full(L - len(i), p0.n_edges, i.dtype)]
+                )
+                for i in idxs
+            ])
+        )
+
+    return WindowedPlan(
+        fwd=stack_side(lambda p: p.fwd),
+        bwd=stack_side(lambda p: p.bwd),
+        res_idx=stack_idx(lambda p: p.res_idx),
+        res_csr=_stack_segments([p.res_csr for p in plans]),
+        res_csc=_stack_segments([p.res_csc for p in plans]),
+        tres_idx=stack_idx(lambda p: p.tres_idx),
+        tres_csc=_stack_segments([p.tres_csc for p in plans]),
+        perm=None,
+        inv_perm=None,
+        num_nodes=p0.num_nodes,
+        n_edges=p0.n_edges,
+        n_res=_jnp.asarray(np.stack([np.asarray(p.n_res) for p in plans])),
+        n_tres=_jnp.asarray(np.stack([np.asarray(p.n_tres) for p in plans])),
+        in_window_frac=_jnp.asarray(
+            np.stack([np.asarray(p.in_window_frac) for p in plans])
+        ),
+        tn=p0.tn,
+        te=p0.te,
+        Wb=p0.Wb,
+        nwin=p0.nwin,
+        n_win_rows=p0.n_win_rows,
+    )
+
+
+def _local_plan(plan):
+    """Slice one shard's WindowedPlan out of a stacked pytree (inside
+    shard_map: every array leaf has a leading (1,) shard slice)."""
+    import jax as _jax
+
+    return _jax.tree_util.tree_map(lambda a: a[0], plan)
+
+
 def build_halo_partition(
-    graph: Graph, k: int, pallas: bool = False
+    graph: Graph, k: int, pallas: bool = False, windowed: bool = False
 ) -> HaloPartition:
-    """Partition `graph` for k shards (host-side, numpy)."""
+    """Partition `graph` for k shards (host-side, numpy).
+
+    windowed (requires pallas): per-shard windowed-SpMM plans for the
+    interior aggregations (stacked with uniform statics)."""
     send = np.asarray(graph.senders)
     recv = np.asarray(graph.receivers)
     mask = np.asarray(graph.edge_mask)
@@ -278,6 +446,30 @@ def build_halo_partition(
                 for p in range(k)
             ]),
         )
+        if windowed:
+            from multilevel_gnn_tpu.ops.pallas.windowed import build_plan
+
+            def shard_plan(p, res_len=None, tres_len=None):
+                return build_plan(
+                    senders_ext[p], receivers_loc[p], Nl,
+                    mask=edge_mask[p] & interior_m[p],
+                    res_len=res_len, tres_len=tres_len,
+                )
+
+            plans = [shard_plan(p) for p in range(k)]
+            # second pass with forced residual lengths so every shard's
+            # plan stacks with uniform statics
+            lr = max(int(p.res_idx.shape[0]) for p in plans)
+            lt = max(int(p.tres_idx.shape[0]) for p in plans)
+            if any(
+                int(p.res_idx.shape[0]) != lr
+                or int(p.tres_idx.shape[0]) != lt
+                for p in plans
+            ):
+                plans = [
+                    shard_plan(p, res_len=lr, tres_len=lt) for p in range(k)
+                ]
+            segs["win_plan"] = _stack_plans(plans)
 
     return HaloPartition(
         **segs,
@@ -330,12 +522,15 @@ def halo_gather_scatter(
     else:
         w_full = jnp.ones((k, hp.n_edges_local, 1), x.dtype)
     use_pallas = hp.seg_int_fwd is not None
+    use_windowed = use_pallas and hp.win_plan is not None
     seg_args = (
         (hp.seg_int_fwd, hp.seg_int_bwd, hp.seg_bnd_fwd, hp.seg_bnd_bwd,
          hp.seg_send)
         if use_pallas
         else ()
     )
+    if use_windowed:
+        seg_args = seg_args + (hp.win_plan,)
 
     def local(x, s_ext, r_loc, emask, interior, send_idx, deg, w, *segs):
         # shard_map drops the leading (1,)-sized shard axis slices
@@ -353,13 +548,33 @@ def halo_gather_scatter(
             from multilevel_gnn_tpu.ops import spmm as _spmm
 
             si_f, si_b, sb_f, sb_b, s_send = (
-                _local_segments(s) for s in segs
+                _local_segments(s) for s in segs[:5]
             )
             # interior partial first (overlaps with the all_to_all below);
             # dropped (non-interior / padding) edges are absent from the
             # seg's flat layout, so no runtime masking is needed
             with jax.named_scope("halo_interior"):
-                part = _spmm._fused_spmm_sum(xl, w, s_ext, r_loc, si_f, si_b)
+                if use_windowed:
+                    # the single-chip winner per shard: window ranges are
+                    # ownership-local by construction (VERDICT r2 #9)
+                    from multilevel_gnn_tpu.ops.pallas.windowed import (
+                        windowed_spmm_2d,
+                    )
+
+                    wp = _local_plan(segs[5])
+                    x2, bc = _spmm._to_2d(xl)
+                    if _spmm._DTYPE is not None:
+                        x2 = x2.astype(_spmm._DTYPE)
+                    part2 = windowed_spmm_2d(
+                        x2, w.astype(jnp.float32), s_ext, r_loc, wp
+                    )
+                    # windowed output is f32 — matches the flat kernel's
+                    # accumulator dtype, so the boundary add just works
+                    part = _spmm._from_2d(part2, bc)
+                else:
+                    part = _spmm._fused_spmm_sum(
+                        xl, w, s_ext, r_loc, si_f, si_b
+                    )
             with jax.named_scope("halo_exchange"):
                 send = _spmm.gather_rows(xl, send_flat, s_send)
         else:

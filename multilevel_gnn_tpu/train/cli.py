@@ -92,6 +92,14 @@ def main(argv=None):
         help="capture a jax.profiler trace of the whole experiment "
              "(view in TensorBoard/Perfetto)",
     )
+    ap.add_argument(
+        "--bench-scaling", action="store_true",
+        help="instead of training: run the halo-aggregation scaling bench "
+             "at GBM scale over the --mesh model axis (multihost via "
+             "MGTPU_COORDINATOR/MGTPU_NUM_PROC/MGTPU_PROC_ID env); one "
+             "JSON line with edges/s/chip + efficiency + predicted wire "
+             "bytes (docs/SCALING.md)",
+    )
     ap.add_argument("--set", nargs="*", default=[], help="key=value overrides")
     args = ap.parse_args(argv)
 
@@ -116,6 +124,16 @@ def main(argv=None):
     if args.ckpt_dir and cfg.ckpt_every == 0:
         cfg = cfg.replace(ckpt_every=5)
     configure_backend(cfg)
+
+    if args.bench_scaling:
+        from multilevel_gnn_tpu.parallel.scaling import (
+            maybe_init_multihost,
+            run_bench_scaling,
+        )
+
+        maybe_init_multihost()
+        run_bench_scaling(cfg)
+        return
 
     cohort = make_cohort(cfg, args.synthetic, args.data_dir, args.debug)
 
@@ -152,10 +170,22 @@ def _run(args, ap, cfg, cohort):
     if args.fold_parallel is not None:
         if args.pretrain or args.mesh:
             ap.error("--fold-parallel is incompatible with --pretrain/--mesh")
+        import jax
+
         from multilevel_gnn_tpu.train.fold_parallel import (
+            recommended_arm,
             run_experiment_foldparallel,
         )
 
+        n_dev = args.fold_parallel or len(jax.devices())
+        if recommended_arm(n_dev) == "sequential":
+            logging.getLogger(__name__).warning(
+                "--fold-parallel on a single device is DOMINATED by the "
+                "epoch-scanned sequential driver (measured v5e 2026-08-19: "
+                "24 s vs 62 s CV wall) — proceeding as asked; drop the "
+                "flag for the faster arm, or shard units with "
+                "--fold-parallel N on a multi-chip mesh"
+            )
         return run_experiment_foldparallel(
             cfg, cohort, devices=args.fold_parallel or None,
             ckpt_dir=args.ckpt_dir, resume=args.resume,

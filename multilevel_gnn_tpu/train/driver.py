@@ -278,6 +278,10 @@ def run_fold(
             hp = build_halo_partition(
                 ctx.graph, mesh.shape["model"],
                 pallas=_spmm.get_backend() == "pallas",
+                # per-shard windowed interior kernels (the single-chip
+                # winner); window ranges are ownership-local by construction
+                windowed=cfg.windowed_spmm
+                and _spmm.get_backend() == "pallas",
             )
             ctx = _dc.replace(ctx, graph=_dc.replace(ctx.graph, halo=hp))
             _spmm.set_parallel_mesh(mesh)

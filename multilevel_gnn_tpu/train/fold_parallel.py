@@ -9,15 +9,15 @@ FoldContext/Graph pytree STRUCTURALLY IDENTICAL — so the whole experiment
 can be stacked on a new leading 'unit' axis and driven by ONE vmapped train
 step:
 
-  * one chip: fewer dispatches, one executable for the entire experiment.
-    This wins when the per-step work is small enough to be dispatch/
-    latency-bound — the shipped cohort protocols (measured on v5e,
-    2026-08-18: 200-patient GBM protocol 1.6x steady-state throughput,
-    2.3x wall).  At GBM-REAL scale (N=15405, E~165k) one chip is already
-    bandwidth-saturated and stacking LOSES (measured 0.60x at F=2) —
-    there, use `devices=` to spread units across chips instead;
   * a pod slice: shard the unit axis over the mesh — near-linear scaling
     with ZERO collectives (units never communicate), the ideal TPU regime.
+    This is the arm's regime: `devices=N` spreads units across chips.
+  * ONE chip: dominated since r3.  The r2 rationale (dispatch-bound
+    shipped protocols) was eliminated by the sequential driver's
+    device-side epoch scan (train/step.py:train_epoch) — measured on v5e
+    2026-08-19: sequential 0.063 s/epoch/fold (0.32 s for 5 folds) vs
+    0.65 s lockstep all-folds epoch here, CV wall 24 s vs 62 s.  Use
+    `recommended_arm` / the CLI default (sequential) on a single device.
 
 Semantics match the sequential driver exactly: per-unit host RNG streams
 (np.random.RandomState(seed + 1000*run + fold)), per-unit jax RNG
@@ -77,6 +77,14 @@ def _pad_batch(like):
     return dataclasses.replace(
         like, sample_mask=jnp.zeros_like(like.sample_mask)
     )
+
+
+def recommended_arm(n_devices: int) -> str:
+    """'sequential' | 'fold_parallel' by the measured regime (module
+    docstring): fold-parallel pays only when the unit axis can shard over
+    more than one device; on a single chip the epoch-scanned sequential
+    driver wins everywhere (v5e, 2026-08-19)."""
+    return "fold_parallel" if n_devices > 1 else "sequential"
 
 
 def run_experiment_foldparallel(

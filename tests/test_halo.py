@@ -242,3 +242,94 @@ def test_halo_interior_overlap_independence():
             "no heavy interior compute identified", res["interior"]
         )
         assert res["independent"], res["blocked_heavy"]
+
+
+@pytest.fixture(scope="module")
+def setup_windowed():
+    rng = np.random.RandomState(11)
+    g = community_graph(rng)
+    hp = build_halo_partition(g, K, pallas=True, windowed=True)
+    mesh = make_mesh(1, K)
+    x = jnp.asarray(rng.randn(2, g.n_nodes, 32).astype(np.float32))
+    return g, hp, mesh, x
+
+
+@pytest.mark.parametrize("reduce", ["sum", "mean"])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_halo_windowed_matches_single_device(setup_windowed, reduce, weighted):
+    """Per-shard WINDOWED interior kernels inside the halo shard_map
+    (build_halo_partition(windowed=True), VERDICT r2 #9) == the
+    single-device XLA result.  Window ranges are ownership-local by
+    construction; out-of-window interior edges spill to each shard's
+    composed residual."""
+    g, hp, mesh, x = setup_windowed
+    assert hp.win_plan is not None
+    w = g.edge_attr if weighted else None
+    want = spmm.gather_scatter(x, g, reduce, w, backend="xla")
+    xp = pad_nodes_for(x, hp)
+    with mesh:
+        got = jax.jit(
+            lambda x: halo_gather_scatter(x, hp, mesh, reduce, w)
+        )(xp)
+    np.testing.assert_allclose(
+        np.asarray(got)[:, : g.n_nodes], np.asarray(want), rtol=2e-5,
+        atol=2e-5,
+    )
+
+
+def test_halo_windowed_gradients(setup_windowed):
+    """Gradients through the windowed halo path (windowed custom VJP per
+    shard + all_to_all transpose) == single-device gradients."""
+    g, hp, mesh, x = setup_windowed
+    t = jnp.asarray(
+        np.random.RandomState(5).randn(*x.shape).astype(np.float32)
+    )
+
+    def loss_halo(x):
+        out = halo_gather_scatter(
+            pad_nodes_for(x, hp), hp, mesh, "mean", g.edge_attr
+        )
+        return jnp.sum(out[:, : g.n_nodes] * t)
+
+    def loss_ref(x):
+        return jnp.sum(
+            spmm.gather_scatter(x, g, "mean", g.edge_attr, backend="xla") * t
+        )
+
+    with mesh:
+        g_halo = jax.jit(jax.grad(loss_halo))(x)
+    g_ref = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(
+        np.asarray(g_halo), np.asarray(g_ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_halo_windowed_ragged_shards(setup_windowed):
+    """Shards with wildly different interior-edge counts (incl. one with
+    ZERO interior edges) still stack into one SPMD program — the padded
+    chunk/step machinery of parallel/halo.py:_stack_plans."""
+    rng = np.random.RandomState(13)
+    n = 512
+    nl = n // K
+    # all interior edges inside shard 0; shard 3 gets nothing interior
+    s = rng.randint(0, nl, size=900)
+    d = rng.randint(0, nl, size=900)
+    cs = rng.randint(0, n, size=60)
+    cd = rng.randint(2 * nl, 3 * nl, size=60)  # boundary into shard 2
+    edges = np.stack(
+        [np.concatenate([s, cs]), np.concatenate([d, cd])]
+    )
+    g = Graph.from_edges(edges, rng.rand(edges.shape[1]).astype(np.float32), n)
+    hp = build_halo_partition(g, K, pallas=True, windowed=True)
+    mesh = make_mesh(1, K)
+    x = jnp.asarray(rng.randn(2, n, 32).astype(np.float32))
+    want = spmm.gather_scatter(x, g, "sum", g.edge_attr, backend="xla")
+    with mesh:
+        got = jax.jit(
+            lambda x: halo_gather_scatter(
+                pad_nodes_for(x, hp), hp, mesh, "sum", g.edge_attr
+            )
+        )(x if x.shape[-2] == hp.k * hp.n_local else pad_nodes_for(x, hp))
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :n], np.asarray(want), rtol=2e-5, atol=2e-5
+    )
