@@ -265,6 +265,12 @@ class Config:
     # (ops/pallas/windowed.py); falls back automatically when the graph
     # doesn't window (< 50% in-window edges)
     windowed_spmm: bool = False
+    # windowed-SpMM engagement floor on the REAL fold edge count: below it
+    # the adjacency-block build overhead exceeds the per-row gather it
+    # replaces (measured v5e r3: E=66k windowed 0.30 s/epoch vs composed
+    # 0.168; E=154k windowed 29.8 ms/step vs 38.6 composed).  The windowed
+    # locality fallback (<50% in-window) still applies above the floor.
+    windowed_min_edges: int = 100_000
     # mixed precision: run the flagship GNN trunk (convs, gathers, pathway
     # contraction) in bfloat16 with float32 params/optimizer/head/losses —
     # the standard TPU production policy.  None/float32 = full f32.
@@ -292,6 +298,12 @@ class Config:
     # the per-step path (same host RNG plan, same fold_in stream); the
     # per-step path remains for mesh-sharded runs.
     epoch_scan: bool = True
+    # whole-fold device loop (requires epoch_scan): ONE compiled dispatch
+    # and ONE host fetch per fold — scan over epochs of (train scan + eval
+    # scan), best-by-valid tracking on the fetched per-epoch preds.
+    # Auto-disengages for checkpointing / interrupt hooks / variation aug
+    # (per-epoch host control needed) and mesh runs.
+    fold_scan: bool = True
     pathway_edge_num: int = 0  # set by the data pipeline (onehot edge count)
 
     def replace(self, **kw) -> "Config":

@@ -866,10 +866,16 @@ class Cohort:
             )
         if pad_edges_to is not None:
             graph = graph.pad_edges_to(pad_edges_to)
-        if cfg.windowed_spmm and cfg.kernel_backend == "pallas":
+        if (
+            cfg.windowed_spmm
+            and cfg.kernel_backend == "pallas"
+            and graph.n_edges >= cfg.windowed_min_edges
+        ):
             # gene-grouped windows: node slots are 3*gene+omics, so
             # perm_group=3 permutes genes and keeps cross-omics edges
-            # adjacent (build_edges layout, :562)
+            # adjacent (build_edges layout, :562).  Gated on the real edge
+            # count: below cfg.windowed_min_edges the composed path wins
+            # (see the config field's measured crossover).
             graph = graph.with_window_meta(perm_group=3)
         n_real_edges = graph.n_edges
         graph = graph.with_sorted_meta()

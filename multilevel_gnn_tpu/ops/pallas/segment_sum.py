@@ -142,7 +142,14 @@ class SortedSegments:
         tile_chunks = np.maximum((per_tile + te - 1) // te, 1)
         Cf = int(tile_chunks.sum())
         if flat_bucket > 1:
-            Cf_b = max(_round_up(Cf, flat_bucket), flat_bucket)
+            # GEOMETRIC buckets (base flat_bucket, then +25% steps): linear
+            # multiples still let production-scale folds (Cf ~600 at GBM
+            # scale) hop buckets and recompile every jitted step; 25%
+            # granularity absorbs fold-to-fold distribution variation at
+            # <=25% padding (r3; same fix as windowed._geom_bucket)
+            Cf_b = flat_bucket
+            while Cf_b < Cf:
+                Cf_b += max(flat_bucket, Cf_b // 4)
             tile_chunks[-1] += Cf_b - Cf  # all-padding chunks, last tile
             Cf = Cf_b
         owner = np.repeat(np.arange(n_tiles), tile_chunks).astype(np.int32)

@@ -52,6 +52,19 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _geom_bucket(n: int, base: int, frac: int = 4) -> int:
+    """Geometric size bucket: base, then +25% steps.  Linear buckets made
+    every CV fold's chunk/residual count a fresh STATIC at production
+    scale (E~60-160k: counts differ by hundreds across folds), recompiling
+    the windowed kernels per fold — measured ~70-130 s/fold of remote
+    compiles on the v5e tunnel.  25% granularity absorbs fold-to-fold
+    variation while wasting <=25% padding."""
+    b = base
+    while b < n:
+        b += max(base, b // frac)
+    return b
+
+
 NF_VARIANTS = (1, 2, 4, 8, 16)
 # sub-window width: each src-sorted edge chunk addresses < SUBWIN rows of
 # the tile window, so the per-chunk one-hot is (SUBWIN, te) not (NW, te)
@@ -222,8 +235,9 @@ def _build_side(
     # without padding every CV fold is a new static shape and recompiles
     # the step (same rationale as SortedSegments flat_bucket).  Padding
     # chunks are all-sentinel (weight 0 via perm -1 -> E) on the last tile.
-    CHUNK_BUCKET = 32
-    Cw_b = max(_round_up(max(Cw, 1), CHUNK_BUCKET), CHUNK_BUCKET)
+    # GEOMETRIC buckets: the step-schedule length is Cw + n_tiles*nf, so a
+    # stable Cw bucket makes every plan array fold-stable.
+    Cw_b = _geom_bucket(max(Cw, 1), 32)
     if Cw_b != Cw:
         padn = Cw_b - Cw
         ids = np.concatenate([ids, np.full(padn * te, num_nodes, np.int64)])
@@ -415,10 +429,8 @@ def build_plan(
     # share executables (sentinel edge id = E reads a zero row / zero
     # weight at the take sites, and its segment id num_nodes is dropped
     # by SortedSegments as padding)
-    RES_BUCKET = 512
-
     def pad_idx(idx, forced=None):
-        n = max(_round_up(max(len(idx), 1), RES_BUCKET), RES_BUCKET)
+        n = _geom_bucket(max(len(idx), 1), 512)
         if forced is not None:
             assert forced >= n, (forced, n)
             n = forced

@@ -435,7 +435,105 @@ def run_fold(
                 )
             return out
 
+    def _record_epoch(
+        epoch, valid_auc, valid_acc, valid_loss, test_score
+    ):
+        """Best-by-valid tracking + check-epoch snapshots (reference
+        train.py:144-206) — shared by the per-epoch and whole-fold paths."""
+        valid_eval = valid_auc if cfg.metrics == "auc" else valid_acc
+        if valid_loss < results["highest_valid_loss"]:
+            results["highest_valid_loss"] = valid_loss
+            results["result_y_by_loss"] = test_score
+        if valid_eval > results["highest_valid"]:
+            results["highest_valid"] = valid_eval
+            results["result_y"] = test_score
+        if epoch in check_epochs:
+            # fallback to the current epoch's predictions if no valid-set
+            # improvement was ever recorded (e.g. degenerate tiny valid set)
+            results["epoch"][epoch] = (
+                results["result_y"]
+                if results["result_y"] is not None
+                else test_score
+            )
+            results["epoch_by_loss"][epoch] = (
+                results["result_y_by_loss"]
+                if results["result_y_by_loss"] is not None
+                else test_score
+            )
+            results["epoch_by_epoch"][epoch] = test_score
+
+    # ---- whole-fold device loop: ONE dispatch + ONE host fetch per fold
+    # (train/step.py:train_fold).  Engaged when nothing needs per-epoch
+    # host control: no checkpointing, no interrupt hook, no variation aug
+    # (its (EP, S, B, F) multiplier would not fit), fresh fold.
+    use_fold_scan = (
+        use_scan
+        and cfg.fold_scan
+        and fns.train_fold is not None
+        and ckpt_dir is None
+        and interrupt_after is None
+        and variation is None
+        and start_epoch == 1
+        and cfg.epochs >= 1
+    )
     epoch_times: List[float] = []
+    if use_fold_scan:
+        t_fold0 = time.time()
+        takes, masks, sidxs = [], [], []
+        for epoch in range(1, cfg.epochs + 1):
+            plan = list(
+                epoch_plan(
+                    X, train_idx, cfg.batch_size, np_rng, shuffle, drop_last,
+                    sampler_weights, None,
+                )
+            )
+            takes.append(np.stack([p[0] for p in plan]).astype(np.int32))
+            masks.append(np.stack([p[1] for p in plan]))
+            sidxs.append(
+                np.arange(step_i, step_i + len(plan), dtype=np.int32)
+            )
+            step_i += len(plan)
+        params, opt_state, preds, losses = fns.train_fold(
+            params, opt_state, dev_data, jnp.asarray(np.stack(takes)),
+            jnp.asarray(np.stack(masks)), jnp.asarray(np.stack(sidxs)),
+            ev_take, ev_mask, ctx, class_weight, rng_key,
+        )
+        preds_h, losses_h = np.asarray(preds), np.asarray(losses)
+        per_epoch = (time.time() - t_fold0) / max(cfg.epochs, 1)
+        for epoch in range(1, cfg.epochs + 1):
+            ep = epoch - 1
+            out = []
+            for idx, s, e in (
+                (valid_idx, 0, n_v), (test_idx, n_v, n_v + n_t),
+            ):
+                p = preds_h[ep, s:e][ev_mask_h[s:e]]
+                auc, acc, y_true, score0 = M.eval_scores(Y[np.asarray(idx)], p)
+                out.append(
+                    (auc, acc, y_true, score0,
+                     float(losses_h[ep, s:e].mean()))
+                )
+            (valid_auc, valid_acc, _, _, valid_loss) = out[0]
+            (test_auc, _, y_true_test, test_score, _) = out[1]
+            _record_epoch(epoch, valid_auc, valid_acc, valid_loss, test_score)
+            epoch_times.append(per_epoch)
+            log.info(
+                "run %d fold %d epoch %d: valid auc %.4f test auc %.4f "
+                "loss %.4f (fold-scan, %.3fs/epoch amortized)",
+                run_i, fold_i, epoch, valid_auc, test_auc, valid_loss,
+                per_epoch,
+            )
+        return FoldResult(
+            y_true=y_true_test,
+            epoch_pred={e: results["epoch"][e] for e in check_epochs},
+            epoch_pred_by_loss={
+                e: results["epoch_by_loss"][e] for e in check_epochs
+            },
+            epoch_pred_by_epoch={
+                e: results["epoch_by_epoch"][e] for e in check_epochs
+            },
+            epoch_times=epoch_times,
+        )
+
     for epoch in range(start_epoch, cfg.epochs + 1):
         epoch_t0 = time.time()
         if use_scan:
@@ -489,25 +587,7 @@ def run_fold(
                 fns, params, ctx, X, Y, ages, test_idx, cfg.batch_size,
                 raw=raw, mesh=mesh,
             )
-        valid_eval = valid_auc if cfg.metrics == "auc" else valid_acc
-        if valid_loss < results["highest_valid_loss"]:
-            results["highest_valid_loss"] = valid_loss
-            results["result_y_by_loss"] = test_score
-        if valid_eval > results["highest_valid"]:
-            results["highest_valid"] = valid_eval
-            results["result_y"] = test_score
-        if epoch in check_epochs:
-            # fallback to the current epoch's predictions if no valid-set
-            # improvement was ever recorded (e.g. degenerate tiny valid set)
-            results["epoch"][epoch] = (
-                results["result_y"] if results["result_y"] is not None else test_score
-            )
-            results["epoch_by_loss"][epoch] = (
-                results["result_y_by_loss"]
-                if results["result_y_by_loss"] is not None
-                else test_score
-            )
-            results["epoch_by_epoch"][epoch] = test_score
+        _record_epoch(epoch, valid_auc, valid_acc, valid_loss, test_score)
         epoch_times.append(time.time() - epoch_t0)
         log.info(
             "run %d fold %d epoch %d: valid auc %.4f test auc %.4f loss %.4f"

@@ -167,6 +167,11 @@ class TrainFns:
     # (~4 ms/step measured on the v5e remote tunnel, 20% of the r2 step)
     train_epoch: Callable = None
     eval_scan: Callable = None
+    # whole-fold device loop (one dispatch per FOLD): scan over epochs of
+    # (train-step scan + eval scan), returning per-epoch eval preds/losses
+    # for host-side best-by-valid tracking — on the remote TPU tunnel each
+    # epoch otherwise pays ~1-2 host round trips (~40 ms each)
+    train_fold: Callable = None
 
 
 def make_loss_fn(model, cfg: Config) -> Callable:
@@ -248,6 +253,37 @@ def build_train_fns(model, cfg: Config) -> TrainFns:
         step counter so jax.random.fold_in(rng0, step) matches the
         per-step path bit-for-bit."""
 
+        body = _train_step_body(data, ctx, class_weight, rng0)
+        xs = (take, mask, step_idx) + ((mult,) if mult is not None else ())
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), xs
+        )
+        return params, opt_state, losses
+
+    _ecfg = cfg.replace(
+        weight_balance=False, weighted_loss=False, batch_weighted_loss=False,
+    )
+
+    def _eval_scan_inner(params, data, take, mask, ctx):
+        def body(_, xs):
+            take_s, mask_s = xs
+            batch = _gather_batch(data, take_s, mask_s, None)
+            pred = model.apply(params, batch, ctx, False)[0]
+            loss = classification_loss(
+                pred, batch.y, None, batch.sample_mask, _ecfg
+            )
+            return None, (pred, loss)
+
+        _, (preds, losses) = jax.lax.scan(body, None, (take, mask))
+        return preds, losses
+
+    @jax.jit
+    def eval_scan(params, data, take, mask, ctx):
+        """All of a split's (or several splits', concatenated) eval batches
+        in one compiled scan: preds (S, B, 2) + per-batch losses (S,)."""
+        return _eval_scan_inner(params, data, take, mask, ctx)
+
+    def _train_step_body(data, ctx, class_weight, rng0):
         def body(carry, xs):
             p, o = carry
             take_s, mask_s, si = xs[0], xs[1], xs[2]
@@ -261,32 +297,34 @@ def build_train_fns(model, cfg: Config) -> TrainFns:
             p = optax.apply_updates(p, updates)
             return (p, o), loss
 
-        xs = (take, mask, step_idx) + ((mult,) if mult is not None else ())
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), xs
-        )
-        return params, opt_state, losses
+        return body
 
-    @jax.jit
-    def eval_scan(params, data, take, mask, ctx):
-        """All of a split's (or several splits', concatenated) eval batches
-        in one compiled scan: preds (S, B, 2) + per-batch losses (S,)."""
-        ecfg = cfg.replace(
-            weight_balance=False, weighted_loss=False,
-            batch_weighted_loss=False,
-        )
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_fold(
+        params, opt_state, data, take, mask, step_idx, ev_take, ev_mask,
+        ctx, class_weight, rng0,
+    ):
+        """A WHOLE fold's training as one compiled program: scan over
+        epochs of (step scan + eval scan).  take/mask (EP, S, B),
+        step_idx (EP, S); ev_take/ev_mask (Se, B) fixed eval plans
+        (valid+test concatenated).  Returns final (params, opt_state) and
+        per-epoch stacked eval preds (EP, Se, B, 2) + losses (EP, Se) for
+        host-side best-by-valid tracking — ONE host round trip per fold.
+        No variation-aug support (the (EP, S, B, F) multiplier array would
+        not fit); driver falls back to the per-epoch path there."""
+        step_body = _train_step_body(data, ctx, class_weight, rng0)
 
-        def body(_, xs):
-            take_s, mask_s = xs
-            batch = _gather_batch(data, take_s, mask_s, None)
-            pred = model.apply(params, batch, ctx, False)[0]
-            loss = classification_loss(
-                pred, batch.y, None, batch.sample_mask, ecfg
+        def epoch_body(carry, xs):
+            carry, _ = jax.lax.scan(step_body, carry, xs)
+            preds, losses = _eval_scan_inner(
+                carry[0], data, ev_take, ev_mask, ctx
             )
-            return None, (pred, loss)
+            return carry, (preds, losses)
 
-        _, (preds, losses) = jax.lax.scan(body, None, (take, mask))
-        return preds, losses
+        (params, opt_state), (preds, losses) = jax.lax.scan(
+            epoch_body, (params, opt_state), (take, mask, step_idx)
+        )
+        return params, opt_state, preds, losses
 
     _tx = [None]
 
@@ -306,4 +344,6 @@ def build_train_fns(model, cfg: Config) -> TrainFns:
         opt_state = _jit_opt_init[0](params)
         return params, opt_state
 
-    return TrainFns(train_step, eval_step, init_state, train_epoch, eval_scan)
+    return TrainFns(
+        train_step, eval_step, init_state, train_epoch, eval_scan, train_fold
+    )

@@ -43,10 +43,31 @@ def _assert_equal(a, b, tol=0.0):
 
 
 def test_epoch_scan_matches_per_step():
+    # with the defaults this exercises the WHOLE-FOLD device loop
+    # (cfg.fold_scan) against the per-step dispatch path
     scan, loop = _run_pair()
     # identical compiled math on CPU: float-exact pooled metrics expected;
     # allow a tiny tolerance for cross-program fusion differences
     _assert_equal(scan, loop, tol=1e-6)
+
+
+def test_fold_scan_matches_epoch_scan():
+    """The one-dispatch-per-fold loop (cfg.fold_scan) == the per-epoch
+    scan path: same epoch_plan stream, same fold_in(rng, step) keys, same
+    best-by-valid tracking on the fetched per-epoch preds."""
+    outs = []
+    for fold_scan in (True, False):
+        cfg = gbm_like_cfg(
+            epochs=4, num_run=1, batch_size=8, split_shaffle=True,
+            split_seed=3, node_embedding_dim=4, hidden_channels=8,
+            final_channels=4, head_dim=16, epoch_scan=True,
+            fold_scan=fold_scan,
+        )
+        cohort = make_synthetic_cohort(
+            cfg, seed=0, n_patients=50, n_pathways=5
+        )
+        outs.append(run_experiment(cfg, cohort))
+    _assert_equal(outs[0], outs[1], tol=1e-6)
 
 
 def test_epoch_scan_matches_with_aug_and_sampler():

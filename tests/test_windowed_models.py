@@ -20,7 +20,7 @@ from test_data_pipeline import gbm_like_cfg
 
 def test_windowed_flagship_matches_xla_backend():
     cfg = gbm_like_cfg(
-        batch_size=4, windowed_spmm=True, kernel_backend="pallas"
+        batch_size=4, windowed_spmm=True, kernel_backend="pallas", windowed_min_edges=0
     )
     cohort = make_synthetic_cohort(cfg, seed=0, n_patients=24, n_pathways=6)
     cfg = cfg.replace(
