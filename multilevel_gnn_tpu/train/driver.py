@@ -466,6 +466,15 @@ def run_fold(
     # (train/step.py:train_fold).  Engaged when nothing needs per-epoch
     # host control: no checkpointing, no interrupt hook, no variation aug
     # (its (EP, S, B, F) multiplier would not fit), fresh fold.
+    # static steps/epoch (epoch_plan yield count): sampler draws
+    # B*ceil(n/B) with replacement; otherwise drop_last truncates.  Zero
+    # steps (drop_last and n_train < batch_size) means there is nothing
+    # to stack/scan — the per-epoch path below handles it (`if plan:`).
+    n_tr = len(np.asarray(train_idx))
+    if sampler_weights is not None or not drop_last:
+        steps_per_epoch = math.ceil(n_tr / cfg.batch_size)
+    else:
+        steps_per_epoch = n_tr // cfg.batch_size
     use_fold_scan = (
         use_scan
         and cfg.fold_scan
@@ -475,6 +484,7 @@ def run_fold(
         and variation is None
         and start_epoch == 1
         and cfg.epochs >= 1
+        and steps_per_epoch >= 1
     )
     epoch_times: List[float] = []
     if use_fold_scan:
@@ -493,9 +503,21 @@ def run_fold(
                 np.arange(step_i, step_i + len(plan), dtype=np.int32)
             )
             step_i += len(plan)
+        # pad the epoch axis to a GEOMETRIC bucket: train_fold bounds the
+        # loop with the dynamic n_epochs scalar, so protocols with
+        # different epoch counts share one compiled executable (padding
+        # rows are never executed)
+        epb = 8
+        while epb < cfg.epochs:
+            epb += max(8, epb // 2)
+        for _ in range(epb - cfg.epochs):
+            takes.append(np.zeros_like(takes[0]))
+            masks.append(np.zeros_like(masks[0]))
+            sidxs.append(np.zeros_like(sidxs[0]))
         params, opt_state, preds, losses = fns.train_fold(
             params, opt_state, dev_data, jnp.asarray(np.stack(takes)),
             jnp.asarray(np.stack(masks)), jnp.asarray(np.stack(sidxs)),
+            jnp.asarray(cfg.epochs, jnp.int32),
             ev_take, ev_mask, ctx, class_weight, rng_key,
         )
         preds_h, losses_h = np.asarray(preds), np.asarray(losses)

@@ -301,28 +301,47 @@ def build_train_fns(model, cfg: Config) -> TrainFns:
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_fold(
-        params, opt_state, data, take, mask, step_idx, ev_take, ev_mask,
-        ctx, class_weight, rng0,
+        params, opt_state, data, take, mask, step_idx, n_epochs, ev_take,
+        ev_mask, ctx, class_weight, rng0,
     ):
-        """A WHOLE fold's training as one compiled program: scan over
-        epochs of (step scan + eval scan).  take/mask (EP, S, B),
-        step_idx (EP, S); ev_take/ev_mask (Se, B) fixed eval plans
-        (valid+test concatenated).  Returns final (params, opt_state) and
-        per-epoch stacked eval preds (EP, Se, B, 2) + losses (EP, Se) for
-        host-side best-by-valid tracking — ONE host round trip per fold.
-        No variation-aug support (the (EP, S, B, F) multiplier array would
-        not fit); driver falls back to the per-epoch path there."""
+        """A WHOLE fold's training as one compiled program: a fori_loop
+        over epochs of (step scan + eval scan).  take/mask (EPb, S, B),
+        step_idx (EPb, S) are padded to an EPOCH BUCKET (driver) while
+        n_epochs (dynamic scalar) bounds the loop — so protocols with
+        different epoch counts share one executable (a fresh epoch-static
+        program cost a cold pathological remote compile per protocol,
+        measured ~10-20 min on the v5e tunnel).  ev_take/ev_mask (Se, B)
+        fixed eval plans (valid+test concatenated).  Returns final
+        (params, opt_state) and per-epoch eval preds (EPb, Se, B, 2) +
+        losses (EPb, Se) — rows >= n_epochs stay zero — for host-side
+        best-by-valid tracking: ONE host round trip per fold.  No
+        variation-aug support (the (EP, S, B, F) multiplier would not
+        fit); the driver falls back to the per-epoch path there."""
         step_body = _train_step_body(data, ctx, class_weight, rng0)
+        EPb, Se, B = take.shape[0], ev_take.shape[0], ev_take.shape[1]
+        n_cls = 2
+        preds0 = jnp.zeros((EPb, Se, B, n_cls), jnp.float32)
+        losses0 = jnp.zeros((EPb, Se), jnp.float32)
 
-        def epoch_body(carry, xs):
-            carry, _ = jax.lax.scan(step_body, carry, xs)
-            preds, losses = _eval_scan_inner(
-                carry[0], data, ev_take, ev_mask, ctx
+        def epoch_body(e, carry):
+            p, o, preds, losses = carry
+            xs = (
+                jax.lax.dynamic_index_in_dim(take, e, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(mask, e, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(step_idx, e, 0, keepdims=False),
             )
-            return carry, (preds, losses)
+            (p, o), _ = jax.lax.scan(step_body, (p, o), xs)
+            p_e, l_e = _eval_scan_inner(p, data, ev_take, ev_mask, ctx)
+            preds = jax.lax.dynamic_update_index_in_dim(
+                preds, p_e.astype(jnp.float32), e, 0
+            )
+            losses = jax.lax.dynamic_update_index_in_dim(
+                losses, l_e.astype(jnp.float32), e, 0
+            )
+            return (p, o, preds, losses)
 
-        (params, opt_state), (preds, losses) = jax.lax.scan(
-            epoch_body, (params, opt_state), (take, mask, step_idx)
+        params, opt_state, preds, losses = jax.lax.fori_loop(
+            0, n_epochs, epoch_body, (params, opt_state, preds0, losses0)
         )
         return params, opt_state, preds, losses
 
