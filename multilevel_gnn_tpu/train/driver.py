@@ -53,6 +53,20 @@ def stratified_kfold(labels: np.ndarray, n_splits: int, shuffle: bool, seed):
     return list(skf.split(idx, labels))
 
 
+def epoch_bucket(n_epochs: int) -> int:
+    """Geometric (+~50%, floor 8) bucket for train_fold's padded epoch
+    axis: the whole-fold program is shape-static in the epoch dimension,
+    so padding to a shared bucket lets protocols with different epoch
+    counts (10-epoch benches, 70-epoch published protocols) reuse ONE
+    compiled executable — a fresh epoch-static program costs a cold remote
+    compile per protocol on the v5e tunnel.  The dynamic n_epochs scalar
+    bounds the fori_loop; padding rows are never executed."""
+    epb = 8
+    while epb < n_epochs:
+        epb += max(8, epb // 2)
+    return epb
+
+
 def epoch_plan(
     X, idxs, batch_size, rng: np.random.RandomState,
     shuffle: bool, drop_last: bool,
@@ -507,9 +521,7 @@ def run_fold(
         # loop with the dynamic n_epochs scalar, so protocols with
         # different epoch counts share one compiled executable (padding
         # rows are never executed)
-        epb = 8
-        while epb < cfg.epochs:
-            epb += max(8, epb // 2)
+        epb = epoch_bucket(cfg.epochs)
         for _ in range(epb - cfg.epochs):
             takes.append(np.zeros_like(takes[0]))
             masks.append(np.zeros_like(masks[0]))

@@ -135,3 +135,22 @@ def test_epoch_scan_with_checkpoint_resume(tmp_path):
     for key in ("auc", "auc_by_loss"):
         for e in want["check_epochs"]:
             np.testing.assert_allclose(got[key][e], want[key][e], atol=1e-6)
+
+
+def test_epoch_bucket_shares_executables():
+    """Protocols with different epoch counts must land in the SAME padded
+    epoch bucket when close (one compiled train_fold executable per
+    protocol family), and the bucket sequence must be geometric so total
+    distinct shapes stay O(log epochs)."""
+    from multilevel_gnn_tpu.train.driver import epoch_bucket
+
+    for n in range(1, 9):
+        assert epoch_bucket(n) == 8
+    # 10-epoch bench protocol and 12-epoch variant share one bucket
+    assert epoch_bucket(10) == epoch_bucket(12) == 16
+    for n in range(1, 300):
+        b = epoch_bucket(n)
+        assert b >= n
+        assert b == epoch_bucket(b)  # idempotent: buckets are fixed points
+    # geometric growth: few distinct buckets across a wide protocol range
+    assert len({epoch_bucket(n) for n in range(1, 300)}) <= 12
