@@ -82,6 +82,12 @@ def bench_spmm(backend: str, seed=0):
         lambda x: spmm.gather_scatter(x, g, "mean", g.edge_attr, backend=backend)
         + 0.001  # keep chained values finite
     )
+    # transfer the 126 MB input BEFORE the compile window: through the
+    # remote tunnel the first-call cost is dominated by host->device
+    # transfer + tunnel weather, which used to masquerade as "compile"
+    # (observed: the same cache-HIT entry reporting 4.4 s one process and
+    # 99 s the next)
+    x = jax.block_until_ready(jax.device_put(x))
     t0 = time.perf_counter()
     out = fn(x)
     jax.block_until_ready(out)
@@ -121,6 +127,9 @@ def bench_train_step(backend="pallas", bf16=True, topology="random",
     params, opt_state = fns.init_state(jax.random.PRNGKey(0), batch, ctx, 10)
     cw = jnp.ones(2, jnp.float32)
     key = jax.random.PRNGKey(1)
+    # pre-transfer inputs so the "compile" window measures program
+    # load/compile, not the batch's host->device bytes (see bench_spmm)
+    batch, ctx = jax.block_until_ready(jax.device_put((batch, ctx)))
 
     try:
         t0 = time.perf_counter()
@@ -250,7 +259,7 @@ def bench_cv_foldparallel(seed=0):
     return res["wall_time_s"], res.get("epoch_s_median")
 
 
-def main():
+def run_inproc(seed=None):
     t_start = time.time()
     budget_s = float(os.environ.get("MGTPU_BENCH_BUDGET_S", 1800))
     if not _wait_for_tpu():
@@ -269,7 +278,8 @@ def main():
     # fresh data values every invocation: the tunnel replays cached results
     # for a previously-executed (executable, input-values) chain, so a
     # fixed seed would let a re-run report elided times (CLAUDE.md)
-    seed = int(time.time()) % 1_000_000
+    if seed is None:
+        seed = int(time.time()) % 1_000_000
     print(f"bench data seed: {seed}", file=sys.stderr)
     extras = {}
 
@@ -430,6 +440,227 @@ def main():
         "vs_baseline": step_vs,
         **extras,
     }))
+
+
+# ---- per-arm subprocess harness ----
+# The axon tunnel can wedge MID-RUN (observed 2026-08-19: a pathological
+# remote compile blocked the whole in-process bench for ~20 min; a worse
+# wave would have produced NO numbers for the round).  The default entry
+# point therefore runs every arm in its OWN subprocess with a timeout —
+# the parent never imports jax (so it can never block on the tunnel), a
+# hung arm is killed and recorded as an error, and the tunnel is re-probed
+# before the next arm.  Headline arms run FIRST so budget exhaustion drops
+# diagnostics, not the round's metric.  The persistent compilation cache
+# (.jax_cache/) is shared across arm processes, so warm-compile behavior
+# is identical to the in-process bench.
+
+_STEP_ARMS = {
+    # name: (backend, bf16, topology, windowed, compute_dtype, ms_field)
+    "step_cohort_xla": ("xla", False, "cohort", False, None,
+                        "train_step_cohort_xla_ms"),
+    "step_cohort": ("pallas", True, "cohort", False, None,
+                    "train_step_cohort_ms"),
+    "step_cohort_windowed": ("pallas", True, "cohort", True, None,
+                             "train_step_cohort_windowed_ms"),
+    "step_cohort_shipped": ("pallas", True, "cohort", True, "bfloat16",
+                            "train_step_cohort_shipped_ms"),
+    "step_random": ("pallas", True, "random", False, None, "train_step_ms"),
+    "step_random_xla": ("xla", False, "random", False, None,
+                        "train_step_xla_ms"),
+}
+
+
+def run_arm(name: str, seed: int):
+    """Run ONE bench arm in this process; print ONE JSON line to stdout."""
+    out = {}
+    if name == "fold_deriv":
+        cold, warm = bench_fold_deriv()
+        print(json.dumps({"fold_deriv_s": warm, "fold_deriv_cold_s": cold}))
+        return
+    if not _wait_for_tpu(max_tries=3):
+        print(json.dumps({"error": f"{name}: tpu tunnel unavailable"}))
+        return
+    from multilevel_gnn_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    if name in _STEP_ARMS:
+        backend, bf16, topo, win, cd, field = _STEP_ARMS[name]
+        dt, compile_s, n_edges, B = bench_train_step(
+            backend, bf16=bf16, topology=topo, windowed=win, seed=seed,
+            compute_dtype=cd,
+        )
+        out = {field: dt * 1e3, field.replace("_ms", "_compile_s"): compile_s}
+        if name == "step_cohort_shipped":
+            out["cohort_edges"], out["batch"] = n_edges, B
+        if name == "step_random":
+            out["random_edges"] = n_edges
+    elif name.startswith("spmm_"):
+        tag = name[len("spmm_"):]
+        if tag == "pallas_bf16":
+            import jax.numpy as jnp
+
+            from multilevel_gnn_tpu.ops import spmm as _spmm
+
+            _spmm.set_spmm_dtype(jnp.bfloat16)
+            try:
+                eps, dt, compile_s, _ = bench_spmm("pallas", seed=seed)
+            finally:
+                _spmm.set_spmm_dtype(None)
+        else:
+            eps, dt, compile_s, _ = bench_spmm(tag.split("_")[0], seed=seed)
+        out = {
+            f"spmm_{tag}_edges_per_s": eps,
+            f"spmm_{tag}_compile_s": compile_s,
+        }
+    elif name == "cv":
+        cv_s, epoch_s = bench_cv(seed=seed)
+        out = {"cv_s": cv_s, "cv_wall_s": cv_s, "epoch_s": epoch_s,
+               "epoch_median_s": epoch_s}
+    elif name == "cv_foldparallel":
+        fp_s, fp_epoch = bench_cv_foldparallel(seed=seed)
+        out = {"cv_foldparallel_s": fp_s, "epoch_foldparallel_s": fp_epoch}
+    else:
+        out = {"error": f"unknown arm {name}"}
+    print(json.dumps(out))
+
+
+def orchestrate():
+    """Parent entry point: run each arm as a timed subprocess, aggregate,
+    and ALWAYS print the final one-line JSON."""
+    import subprocess
+
+    t_start = time.time()
+    budget_s = float(os.environ.get("MGTPU_BENCH_BUDGET_S", 1800))
+    fast = os.environ.get("MGTPU_BENCH_FAST") == "1"
+    seed = int(time.time()) % 1_000_000
+    print(f"bench data seed: {seed} (per-arm subprocesses)", file=sys.stderr)
+    extras = {
+        "cv_s": None, "epoch_s": None,
+        "cv_foldparallel_s": None, "epoch_foldparallel_s": None,
+    }
+    errors = []
+
+    # (name, timeout_s, min_remaining_s, cpu_only); headline arms first
+    plan = [
+        ("step_cohort_xla", 480, 120, False),
+        ("step_cohort_shipped", 480, 120, False),
+        ("step_cohort_windowed", 480, 120, False),
+        ("step_cohort", 480, 120, False),
+        ("step_random", 480, 120, False),
+        ("step_random_xla", 480, 120, False),
+        ("fold_deriv", 420, 60, True),
+        ("cv", 1200, 300, False),
+        ("spmm_pallas_bf16", 900, 90, False),
+        ("spmm_xla", 900, 90, False),
+        ("spmm_pallas_f32", 1500, 120, False),
+        ("cv_foldparallel", 900, 300, False),
+    ]
+    def _run_one(name, arm_timeout, min_req, cpu_only):
+        """Returns True on success (extras updated)."""
+        remaining = budget_s - (time.time() - t_start)
+        if remaining < min_req:
+            print(f"arm {name} skipped (remaining budget {remaining:.0f} s)",
+                  file=sys.stderr)
+            return False
+        env = dict(os.environ)
+        if cpu_only:
+            env["PALLAS_AXON_POOL_IPS"] = ""
+            env["JAX_PLATFORMS"] = "cpu"
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--arm", name, "--seed", str(seed)],
+                timeout=min(arm_timeout, max(remaining - 30, min_req)),
+                capture_output=True, text=True, env=env,
+            )
+            sys.stderr.write(r.stderr[-4000:])
+            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
+            got = json.loads(line)
+            if "error" in got:
+                errors.append(got["error"])
+                print(f"arm {name} error: {got['error']}", file=sys.stderr)
+                return False
+            extras.update(got)
+            print(f"arm {name} ok ({time.time() - t0:.0f} s)", file=sys.stderr)
+            return True
+        except subprocess.TimeoutExpired as e:
+            if e.stderr:
+                err = e.stderr
+                sys.stderr.write(
+                    err[-4000:] if isinstance(err, str)
+                    else err[-4000:].decode(errors="replace")
+                )
+            errors.append(f"{name}: timeout after {time.time() - t0:.0f} s")
+            print(f"arm {name} TIMED OUT ({time.time() - t0:.0f} s); "
+                  "re-probing tunnel", file=sys.stderr)
+            _wait_for_tpu(max_tries=3)  # parent-safe: subprocess probe only
+        except Exception as e:  # malformed output etc.
+            errors.append(f"{name}: {type(e).__name__}: {e}")
+            print(f"arm {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        return False
+
+    failed = []
+    for name, arm_timeout, min_req, cpu_only in plan:
+        if fast and name in ("cv", "cv_foldparallel"):
+            continue
+        if not _run_one(name, arm_timeout, min_req, cpu_only):
+            failed.append((name, arm_timeout, min_req, cpu_only))
+    # one retry pass while budget remains: arm timeouts are usually tunnel
+    # WEATHER (observed: a 42 ms-steady arm blocked >480 s, the next arm
+    # fine), so a later retry often lands
+    for name, arm_timeout, min_req, cpu_only in failed:
+        _run_one(name, arm_timeout, min_req, cpu_only)
+
+    # ---- headline (same selection logic as the in-process path) ----
+    shipped = extras.get("train_step_cohort_shipped_ms")
+    cohort_xla = extras.get("train_step_cohort_xla_ms")
+    value = vs = 0.0
+    if shipped and extras.get("cohort_edges"):
+        value = extras["batch"] * extras["cohort_edges"] / (shipped / 1e3)
+        vs = (cohort_xla / shipped) if cohort_xla else 0.0
+        extras["train_step_shipped_ms"] = shipped
+    elif extras.get("train_step_ms") and extras.get("random_edges"):
+        value = 32 * extras["random_edges"] / (extras["train_step_ms"] / 1e3)
+        vs = (
+            extras["train_step_xla_ms"] / extras["train_step_ms"]
+            if extras.get("train_step_xla_ms") else 0.0
+        )
+    elif extras.get("spmm_pallas_bf16_edges_per_s"):
+        value = extras["spmm_pallas_bf16_edges_per_s"]
+        vs = (
+            value / extras["spmm_xla_edges_per_s"]
+            if extras.get("spmm_xla_edges_per_s") else 0.0
+        )
+        print(json.dumps({
+            "metric": "spmm_edges_per_s_per_chip[pallas_bf16]",
+            "value": value, "unit": "edges/s", "vs_baseline": vs,
+            **extras, **({"errors": errors} if errors else {}),
+        }))
+        return
+    print(json.dumps({
+        "metric": "flagship_train_step_edges_per_s_per_chip",
+        "value": value,
+        "unit": "edges/s",
+        "vs_baseline": vs,
+        **extras,
+        **({"errors": errors} if errors else {}),
+    }))
+
+
+def main():
+    if "--arm" in sys.argv:
+        i = sys.argv.index("--arm")
+        seed = (
+            int(sys.argv[sys.argv.index("--seed") + 1])
+            if "--seed" in sys.argv else int(time.time()) % 1_000_000
+        )
+        run_arm(sys.argv[i + 1], seed)
+    elif "--inproc" in sys.argv:
+        run_inproc()
+    else:
+        orchestrate()
 
 
 if __name__ == "__main__":
