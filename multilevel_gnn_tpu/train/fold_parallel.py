@@ -11,13 +11,21 @@ step:
 
   * a pod slice: shard the unit axis over the mesh — near-linear scaling
     with ZERO collectives (units never communicate), the ideal TPU regime.
-    This is the arm's regime: `devices=N` spreads units across chips.
+    This is the arm's regime: `devices=N` spreads units across chips, and
+    there the WHOLE experiment additionally advances as ONE dispatch +
+    ONE host fetch (train/step.py:train_fold_raw vmapped over units,
+    shard_mapped over the mesh) — no per-step or per-epoch host round
+    trips at all.
   * ONE chip: dominated since r3.  The r2 rationale (dispatch-bound
     shipped protocols) was eliminated by the sequential driver's
     device-side epoch scan (train/step.py:train_epoch) — measured on v5e
     2026-08-19: sequential 0.063 s/epoch/fold (0.32 s for 5 folds) vs
-    0.65 s lockstep all-folds epoch here, CV wall 24 s vs 62 s.  Use
-    `recommended_arm` / the CLI default (sequential) on a single device.
+    0.65 s lockstep all-folds epoch here, CV wall 24 s vs 62 s.  The
+    one-dispatch whole-experiment loop is also NOT engaged single-chip:
+    the vmapped executable measured 1.55 s/epoch steady (2.4x the
+    per-step lockstep loop) plus a 200-560 s first-call program load
+    through the remote tunnel.  Use `recommended_arm` / the CLI default
+    (sequential) on a single device.
 
 Semantics match the sequential driver exactly: per-unit host RNG streams
 (np.random.RandomState(seed + 1000*run + fold)), per-unit jax RNG
@@ -49,6 +57,8 @@ from multilevel_gnn_tpu.data.cohort import Cohort
 from multilevel_gnn_tpu.train import metrics as M
 from multilevel_gnn_tpu.train.driver import (
     _shared_fns,
+    epoch_bucket,
+    epoch_plan,
     fold_setup,
     iter_batches,
     stratified_kfold,
@@ -284,6 +294,191 @@ def run_experiment_foldparallel(
         if cfg.random_variation_aug
         else None
     )
+    epoch_times: List[float] = []
+
+    # ---- whole-fold device loop over ALL units (train/step.py:
+    # train_fold_raw vmapped over the unit axis, shard_mapped over the
+    # mesh): the ENTIRE experiment advances as ONE dispatch + ONE host
+    # fetch — each chip fori-loops its local units' folds with no per-step
+    # or per-epoch host round trips.  Engaged ONLY in this arm's regime,
+    # `devices=N` (unit sharding): measured on one v5e chip 2026-08-19 the
+    # vmapped whole-experiment executable runs 1.55 s/epoch steady-state
+    # vs 0.65 s/epoch for the per-step lockstep loop AND pays a 200-560 s
+    # first-call program load through the remote tunnel — single-chip
+    # callers (devices=None) keep the per-step loop below.  Also requires
+    # the sequential fold scan's conditions (fresh run, no checkpointing,
+    # no variation aug) plus a shared device-resident data dict (raw is
+    # fold-dependent for DeeperGCN/PathCNN-precomputed — those fall back
+    # to the per-step loop).
+    use_fold_scan = (
+        devices is not None
+        and bool(cfg.epoch_scan)
+        and bool(cfg.fold_scan)
+        and fns.train_fold_raw is not None
+        and ckpt_dir is None
+        and variation is None
+        and start_epoch == 1
+        and cfg.epochs >= 1
+        and train_batches >= 1
+        and all(fold_cache[u.fold_i][2] is None for u in units)
+    )
+    if use_fold_scan:
+        t_scan0 = time.time()
+        X0 = fold_cache[units[0].fold_i][1]
+        data = {
+            "X": jnp.asarray(X0),
+            "Y": jnp.asarray(Y),
+            "ages": jnp.asarray(ages),
+        }
+        EPb = epoch_bucket(cfg.epochs)
+        S = train_batches
+        take_l, mask_l = [], []
+        for i, u in enumerate(units):
+            _, X_u, _ = fold_cache[u.fold_i]
+            tks, mks = [], []
+            for _ in range(cfg.epochs):
+                # trimming to the lockstep step count consumes the same
+                # np RNG as the per-step path (selection draw only;
+                # variation is None here)
+                plan = list(
+                    epoch_plan(
+                        X_u, u.train_idx, cfg.batch_size, np_rngs[i],
+                        shuffle, drop_last, sampler_weights[i], None,
+                    )
+                )[:S]
+                tks.append(np.stack([p[0] for p in plan]).astype(np.int32))
+                mks.append(np.stack([p[1] for p in plan]))
+            for _ in range(EPb - cfg.epochs):  # inert epoch-bucket padding
+                tks.append(np.zeros_like(tks[0]))
+                mks.append(np.zeros_like(mks[0]))
+            take_l.append(np.stack(tks))
+            mask_l.append(np.stack(mks))
+        take = np.stack(take_l)  # (U, EPb, S, B)
+        maskp = np.stack(mask_l)
+        # global step counter shared by all lockstep units — matches the
+        # per-step loop's fold_in(rng_keys, step_i) stream exactly
+        sidx = np.arange(EPb * S, dtype=np.int32).reshape(EPb, S)
+
+        def _eval_plan_u(i, u):
+            _, X_u, _ = fold_cache[u.fold_i]
+            rows = []
+            counts = []
+            for idx in (u.valid_idx, u.test_idx):
+                plan = list(
+                    epoch_plan(
+                        X_u, idx, cfg.batch_size, np.random.RandomState(0),
+                        False, False,
+                    )
+                )
+                rows.extend(plan)
+                counts.append(len(plan))
+            t = np.stack([p[0] for p in rows]).astype(np.int32)
+            m = np.stack([p[1] for p in rows])
+            return t, m, counts
+
+        ev = [_eval_plan_u(i, u) for i, u in enumerate(units)]
+        Se = max(t.shape[0] for t, _, _ in ev)
+        ev_take_l, ev_mask_l, ev_counts = [], [], []
+        for t, m, counts in ev:
+            pad = Se - t.shape[0]
+            if pad:  # repeat a REAL batch row (finite loss); rows beyond
+                # the unit's (n_v + n_t) are dropped host-side below
+                t = np.concatenate([t, np.repeat(t[:1], pad, axis=0)])
+                m = np.concatenate([m, np.repeat(m[:1], pad, axis=0)])
+            ev_take_l.append(t)
+            ev_mask_l.append(m)
+            ev_counts.append(counts)
+        ev_take = np.stack(ev_take_l)  # (U, Se, B)
+        ev_mask = np.stack(ev_mask_l)
+        ev_mask_h = ev_mask.copy()
+
+        vfold = jax.vmap(
+            fns.train_fold_raw,
+            in_axes=(0, 0, None, 0, 0, None, None, 0, 0, 0, 0, 0),
+        )
+        take, maskp, sidx = jnp.asarray(take), jnp.asarray(maskp), jnp.asarray(sidx)
+        ev_take, ev_mask = jnp.asarray(ev_take), jnp.asarray(ev_mask)
+        n_ep = jnp.asarray(cfg.epochs, jnp.int32)
+        if devices is not None:
+            from jax import shard_map
+            from jax.sharding import (
+                Mesh, NamedSharding, PartitionSpec as P,
+            )
+
+            mesh = Mesh(np.array(jax.devices()[:devices]), ("unit",))
+            u_spec, r_spec = P("unit"), P()
+            vfold = shard_map(
+                vfold, mesh=mesh,
+                in_specs=(u_spec, u_spec, r_spec, u_spec, u_spec, r_spec,
+                          r_spec, u_spec, u_spec, u_spec, u_spec, u_spec),
+                out_specs=u_spec, check_vma=False,
+            )
+            sh_u = NamedSharding(mesh, u_spec)
+            sh_r = NamedSharding(mesh, r_spec)
+            put_u = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda x: jax.device_put(x, sh_u), t
+            )
+            params, opt_state, ctx = put_u(params), put_u(opt_state), put_u(ctx)
+            class_weight, rng_keys = put_u(class_weight), put_u(rng_keys)
+            take, maskp, ev_take, ev_mask = map(
+                put_u, (take, maskp, ev_take, ev_mask)
+            )
+            data = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sh_r), data
+            )
+            sidx = jax.device_put(sidx, sh_r)
+        jfold = jax.jit(vfold, donate_argnums=(0, 1))
+        params, opt_state, preds, losses = jfold(
+            params, opt_state, data, take, maskp, sidx, n_ep,
+            ev_take, ev_mask, ctx, class_weight, rng_keys,
+        )
+        preds_h = np.asarray(preds)  # (U, EPb, Se, B, 2)
+        losses_h = np.asarray(losses)  # (U, EPb, Se)
+        step_i += cfg.epochs * S
+        per_epoch = (time.time() - t_scan0) / max(cfg.epochs, 1)
+        for epoch in range(1, cfg.epochs + 1):
+            ep = epoch - 1
+            for i, u in enumerate(units):
+                n_v, n_t = ev_counts[i]
+                out = []
+                for idx, s, e in (
+                    (u.valid_idx, 0, n_v), (u.test_idx, n_v, n_v + n_t),
+                ):
+                    p = preds_h[i, ep, s:e][ev_mask_h[i, s:e]]
+                    auc, acc, y_t, score0 = M.eval_scores(Y[idx], p)
+                    out.append(
+                        (auc, acc, y_t, score0,
+                         float(losses_h[i, ep, s:e].mean()))
+                    )
+                v_auc, v_acc, _, _, v_loss = out[0]
+                _, _, y_t, t_score, _ = out[1]
+                y_true_test[i] = y_t
+                r = results[i]
+                v_eval = v_auc if cfg.metrics == "auc" else v_acc
+                if v_loss < r["highest_valid_loss"]:
+                    r["highest_valid_loss"] = v_loss
+                    r["result_y_by_loss"] = t_score
+                if v_eval > r["highest_valid"]:
+                    r["highest_valid"] = v_eval
+                    r["result_y"] = t_score
+                if epoch in check_epochs:
+                    r["epoch"][epoch] = (
+                        r["result_y"] if r["result_y"] is not None
+                        else t_score
+                    )
+                    r["epoch_by_loss"][epoch] = (
+                        r["result_y_by_loss"]
+                        if r["result_y_by_loss"] is not None
+                        else t_score
+                    )
+                    r["epoch_by_epoch"][epoch] = t_score
+            epoch_times.append(per_epoch)
+        log.info(
+            "fold-parallel fold-scan: %d units x %d epochs in ONE dispatch "
+            "(%.2fs, %.3fs/epoch amortized)",
+            F, cfg.epochs, time.time() - t_scan0, per_epoch,
+        )
+        start_epoch = cfg.epochs + 1  # the per-step loop below is skipped
 
     def eval_split(params, idx_name):
         """Vectorized evaluate() over all units for a given split."""
@@ -329,7 +524,6 @@ def run_experiment_foldparallel(
             out.append((auc, acc, y_true, score0, float(np.mean(losses[i]))))
         return out
 
-    epoch_times: List[float] = []
     for epoch in range(start_epoch, cfg.epochs + 1):
         epoch_t0 = time.time()
         iters = [

@@ -172,6 +172,9 @@ class TrainFns:
     # for host-side best-by-valid tracking — on the remote TPU tunnel each
     # epoch otherwise pays ~1-2 host round trips (~40 ms each)
     train_fold: Callable = None
+    # unjitted train_fold body for fold_parallel's vmap-over-units (jitted
+    # once AFTER the vmap / shard_map wrap)
+    train_fold_raw: Callable = None
 
 
 def make_loss_fn(model, cfg: Config) -> Callable:
@@ -299,8 +302,7 @@ def build_train_fns(model, cfg: Config) -> TrainFns:
 
         return body
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_fold(
+    def train_fold_raw(
         params, opt_state, data, take, mask, step_idx, n_epochs, ev_take,
         ev_mask, ctx, class_weight, rng0,
     ):
@@ -345,6 +347,10 @@ def build_train_fns(model, cfg: Config) -> TrainFns:
         )
         return params, opt_state, preds, losses
 
+    # the raw (unjitted) body is exposed so fold_parallel can vmap it over
+    # a stacked unit axis (and shard_map the vmap) before jitting ONCE
+    train_fold = partial(jax.jit, donate_argnums=(0, 1))(train_fold_raw)
+
     _tx = [None]
 
     # jitted: eager flax init dispatches thousands of small ops, which on
@@ -364,5 +370,6 @@ def build_train_fns(model, cfg: Config) -> TrainFns:
         return params, opt_state
 
     return TrainFns(
-        train_step, eval_step, init_state, train_epoch, eval_scan, train_fold
+        train_step, eval_step, init_state, train_epoch, eval_scan,
+        train_fold, train_fold_raw,
     )

@@ -118,3 +118,20 @@ def test_foldparallel_checkpoint_resume_and_predict(tmp_path):
     res = predict_fold(cfg, cohort, str(tmp_path / "a"), run_i=0, fold_i=1,
                        split="test")
     assert len(res["prob"]) > 0 and 0.0 <= res["auc"] <= 1.0
+
+
+def test_foldparallel_fold_scan_matches_per_step_arm():
+    """The ONE-dispatch whole-experiment device loop (engaged in the
+    devices=N regime) == the per-step lockstep loop — same plans, same
+    global step counter, same best-by-valid selection.  devices=1 drives
+    the scan path's full shard_map machinery on a 1-device mesh;
+    fold_scan=False forces the per-step loop on the same mesh."""
+    cfg = _tiny_cfg(epochs=3)
+    cohort = make_synthetic_cohort(cfg, seed=0, n_patients=50, n_pathways=5)
+    scan = run_experiment_foldparallel(cfg, cohort, devices=1)
+    per_step = run_experiment_foldparallel(
+        cfg.replace(fold_scan=False), cohort, devices=1
+    )
+    per_step_nodev = run_experiment_foldparallel(cfg, cohort)
+    _check(per_step, scan)
+    _check(per_step_nodev, scan)
