@@ -285,7 +285,14 @@ class Config:
     # threaded C++ kNN MI for the per-fold feature masks (csrc/mi_knn.cc,
     # value-exact vs sklearn mutual_info_classif); False forces sklearn
     native_mi: bool = True
-    ckpt_every: int = 0  # save {params,opt_state,loop} every N epochs (0=off)
+    # Checkpoint cadence when a --ckpt-dir is given.  0 (default) =
+    # fold-BOUNDARY checkpoints: one {params, opt_state, loop} save per
+    # completed fold, which keeps the whole-fold device scan engaged
+    # (~0.01 s/epoch; crash loses at most one fold).  N>0 = save every N
+    # epochs for mid-fold resume — this forces per-epoch host control, so
+    # fold_scan disengages and epochs cost ~6x more (measured 0.063 vs
+    # 0.010 s/epoch at the synthetic-CV scale).
+    ckpt_every: int = 0
     # overlap the next fold's host derivation (MI/PCA/edges) with on-device
     # training on a 1-worker thread; fold setups are also cached across runs
     # (identical splits per run).  Semantics-neutral — driver.run_experiment.
@@ -301,8 +308,10 @@ class Config:
     # whole-fold device loop (requires epoch_scan): ONE compiled dispatch
     # and ONE host fetch per fold — scan over epochs of (train scan + eval
     # scan), best-by-valid tracking on the fetched per-epoch preds.
-    # Auto-disengages for checkpointing / interrupt hooks / variation aug
-    # (per-epoch host control needed) and mesh runs.
+    # Auto-disengages for per-EPOCH checkpoint cadence (ckpt_every>0),
+    # interrupt hooks, variation aug (per-epoch host control needed) and
+    # mesh runs; fold-boundary checkpointing (ckpt_every=0 + ckpt dir)
+    # rides the scan itself — see ckpt_every above.
     fold_scan: bool = True
     pathway_edge_num: int = 0  # set by the data pipeline (onehot edge count)
 

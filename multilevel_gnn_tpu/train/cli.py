@@ -75,7 +75,10 @@ def main(argv=None):
     )
     ap.add_argument(
         "--ckpt-dir", default=None,
-        help="checkpoint dir (enables periodic save; see --set ckpt_every=N)",
+        help="checkpoint dir; default cadence = one save per completed "
+             "fold (keeps the whole-fold scan engaged). For mid-fold "
+             "resume pass --set ckpt_every=N (per-epoch stepping, ~6x "
+             "slower epochs — see core/config.py)",
     )
     ap.add_argument(
         "--resume", action="store_true",
@@ -121,8 +124,8 @@ def main(argv=None):
         cfg = cfg.replace(mesh_data_axis=d, mesh_model_axis=m)
     if args.resume and not args.ckpt_dir:
         ap.error("--resume requires --ckpt-dir")
-    if args.ckpt_dir and cfg.ckpt_every == 0:
-        cfg = cfg.replace(ckpt_every=5)
+    # ckpt_every=0 + --ckpt-dir = fold-boundary checkpointing (the fold
+    # scan stays engaged); no silent cadence promotion — driver.run_fold
     configure_backend(cfg)
 
     if args.bench_scaling:
