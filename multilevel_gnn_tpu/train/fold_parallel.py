@@ -630,6 +630,10 @@ def run_experiment_foldparallel(
         "wall_time_s": time.time() - t0,
         "epoch_s_median": float(np.median(epoch_times)) if epoch_times else None,
         "units": F,
+        # which loop actually ran (dryrun/bench provenance, VERDICT r3 #7):
+        # 'one-dispatch' = the whole experiment as one vmapped/shard_mapped
+        # train_fold_raw dispatch; 'per-step' = the lockstep step loop
+        "arm": "one-dispatch" if use_fold_scan else "per-step",
     }
     for k, d in agg.items():
         out[k] = {e: float(np.mean(v)) for e, v in d.items()}
