@@ -255,7 +255,15 @@ def run_fold(
     resume: bool = False,
     interrupt_after: Optional[int] = None,
     prepared=None,
+    warm_only: bool = False,
 ) -> FoldResult:
+    """warm_only=True: AOT-compile (jit .lower().compile()) every
+    executable this fold would run — into the persistent compilation
+    cache — WITHOUT executing a step, then return None.  The pre-flight
+    for cold processes on the remote-compile TPU tunnel (mgtpu-warm,
+    train/warm.py): first-call windows of 200-560 s collapse to cache
+    hits.  Geometric shape buckets mean fold 0's executables serve all
+    folds."""
     t_prep0 = time.time()
     _marks: List = []
 
@@ -557,12 +565,17 @@ def run_fold(
             takes.append(np.zeros_like(takes[0]))
             masks.append(np.zeros_like(masks[0]))
             sidxs.append(np.zeros_like(sidxs[0]))
-        params, opt_state, preds, losses = fns.train_fold(
+        fold_args = (
             params, opt_state, dev_data, jnp.asarray(np.stack(takes)),
             jnp.asarray(np.stack(masks)), jnp.asarray(np.stack(sidxs)),
             jnp.asarray(cfg.epochs, jnp.int32),
             ev_take, ev_mask, ctx, class_weight, rng_key,
         )
+        if warm_only:
+            fns.train_fold.lower(*fold_args).compile()
+            log.info("warm: train_fold compiled (fold-scan path)")
+            return None
+        params, opt_state, preds, losses = fns.train_fold(*fold_args)
         preds_h, losses_h = np.asarray(preds), np.asarray(losses)
         per_epoch = (time.time() - t_fold0) / max(cfg.epochs, 1)
         for epoch in range(1, cfg.epochs + 1):
@@ -602,6 +615,45 @@ def run_fold(
             },
             epoch_times=epoch_times,
         )
+
+    if warm_only:
+        if use_scan:
+            plan = list(
+                epoch_plan(
+                    X, train_idx, cfg.batch_size, np_rng, shuffle, drop_last,
+                    sampler_weights, variation,
+                )
+            )
+            if plan:
+                take = np.stack([p[0] for p in plan]).astype(np.int32)
+                maskp = np.stack([p[1] for p in plan])
+                mult = (
+                    jnp.asarray(np.stack([p[2] for p in plan]))
+                    if variation is not None
+                    else None
+                )
+                sidx = np.arange(len(plan), dtype=np.int32)
+                fns.train_epoch.lower(
+                    params, opt_state, dev_data, jnp.asarray(take),
+                    jnp.asarray(maskp), mult, jnp.asarray(sidx), ctx,
+                    class_weight, rng_key,
+                ).compile()
+            fns.eval_scan.lower(
+                params, dev_data, ev_take, ev_mask, ctx
+            ).compile()
+            log.info("warm: train_epoch + eval_scan compiled")
+        else:
+            batch = init_batch
+            if mesh is not None:
+                from multilevel_gnn_tpu.parallel import shard_batch
+
+                batch = shard_batch(batch, mesh)
+            fns.train_step.lower(
+                params, opt_state, batch, ctx, class_weight, rng_key
+            ).compile()
+            fns.eval_step.lower(params, batch, ctx).compile()
+            log.info("warm: train_step + eval_step compiled")
+        return None
 
     for epoch in range(start_epoch, cfg.epochs + 1):
         epoch_t0 = time.time()

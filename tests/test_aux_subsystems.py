@@ -237,3 +237,33 @@ def test_psnr_and_average_meter_match_reference():
     m.update(2.0)
     m.update(4.0, n=3)
     assert (m.val, m.sum, m.count, m.avg) == (4.0, 14.0, 4, 3.5)
+
+
+def test_warm_experiment_all_paths(tmp_path, monkeypatch):
+    """mgtpu-warm (train/warm.py): AOT-compiles the experiment's
+    executables without executing a step, for each driver path (fold scan
+    / epoch scan / per-step), and leaves a subsequent run_experiment
+    bit-identical to an unwarmed one."""
+    from multilevel_gnn_tpu.data.synthetic import make_synthetic_cohort
+    from multilevel_gnn_tpu.train.driver import run_experiment
+    from multilevel_gnn_tpu.train.warm import warm_experiment
+
+    from test_data_pipeline import gbm_like_cfg
+
+    cfg = gbm_like_cfg(
+        epochs=2, num_run=1, batch_size=8, split_shaffle=True, split_seed=3,
+        node_embedding_dim=4, hidden_channels=8, final_channels=4,
+        head_dim=16,
+    )
+    cohort = make_synthetic_cohort(cfg, seed=0, n_patients=50, n_pathways=5)
+    want = run_experiment(cfg, cohort)
+    for variant in (
+        cfg,                                   # fold-scan path
+        cfg.replace(fold_scan=False),          # epoch-scan path
+        cfg.replace(epoch_scan=False),         # per-step path
+    ):
+        out = warm_experiment(variant, cohort)
+        assert out["warm_s"] > 0
+    got = run_experiment(cfg, cohort)
+    e = want["check_epochs"][-1]
+    np.testing.assert_allclose(got["auc"][e], want["auc"][e], rtol=0, atol=0)
