@@ -1,0 +1,143 @@
+"""bench.py orchestration-layer tests (VERDICT r3 Next #1, #2).
+
+The r3 round artifact lost its headline to a tunnel wave: two arm
+timeouts exhausted the budget and `BENCH_r03.json` shipped with
+`cv_s: null` and a fallback headline.  These tests pin the fix:
+
+  * carry-forward — with EVERY arm skipped (budget exhausted, the
+    worst-possible weather), the final JSON still reports non-null
+    values for the headline and all cached fields, each stamped with
+    its provenance in `carried_forward`;
+  * the anchor tripwire flags >tolerance regressions in both metric
+    directions (lower-is-better ms, higher-is-better edges/s).
+
+No jax import, no TPU: the orchestrator parent is tunnel-free by design.
+"""
+import io
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import bench  # noqa: E402
+
+
+def _fake_cache():
+    ts, commit = "2026-08-20T00:00:00Z", "cafe123"
+    fields = {
+        "step_cohort_shipped": {
+            "train_step_cohort_shipped_ms": 31.6,
+            "train_step_cohort_shipped_compile_s": 2.0,
+            "cohort_edges": 154000, "batch": 32,
+        },
+        "step_cohort_xla": {"train_step_cohort_xla_ms": 172.4,
+                            "train_step_cohort_xla_compile_s": 3.0},
+        "step_cohort_windowed": {"train_step_cohort_windowed_ms": 34.0,
+                                 "train_step_cohort_windowed_compile_s": 2.0},
+        "step_cohort": {"train_step_cohort_ms": 38.2,
+                        "train_step_cohort_compile_s": 2.0},
+        "cv": {"cv_s": 13.4, "cv_wall_s": 13.4, "epoch_s": 0.01,
+               "epoch_median_s": 0.01},
+        "step_random": {"train_step_ms": 39.9, "train_step_compile_s": 2.0,
+                        "random_edges": 165397},
+        "step_random_xla": {"train_step_xla_ms": 182.0,
+                            "train_step_xla_compile_s": 2.0},
+        "fold_deriv": {"fold_deriv_s": 6.4, "fold_deriv_cold_s": 5.8},
+        "spmm_pallas_bf16": {"spmm_pallas_bf16_edges_per_s": 7.28e8,
+                             "spmm_pallas_bf16_compile_s": 1.0},
+        "spmm_xla": {"spmm_xla_edges_per_s": 1.28e8,
+                     "spmm_xla_compile_s": 1.0},
+        "spmm_pallas_f32": {"spmm_pallas_f32_edges_per_s": 3.65e8,
+                            "spmm_pallas_f32_compile_s": 1.0},
+        "cv_foldparallel": {"cv_foldparallel_s": 62.0,
+                            "epoch_foldparallel_s": 1.55},
+    }
+    return {
+        name: {"fields": f, "ts": ts, "commit": commit, "seed": 1,
+               "wall_s": 1.0}
+        for name, f in fields.items()
+    }
+
+
+def test_carry_forward_survives_total_budget_exhaustion(
+    tmp_path, monkeypatch, capsys
+):
+    cache_path = tmp_path / "bench_cache.json"
+    cache_path.write_text(json.dumps(_fake_cache()))
+    monkeypatch.setattr(bench, "_CACHE_PATH", str(cache_path))
+    monkeypatch.setenv("MGTPU_BENCH_BUDGET_S", "0")  # every arm skipped
+
+    bench.orchestrate()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    got = json.loads(line)
+
+    assert got["metric"] == "flagship_train_step_edges_per_s_per_chip"
+    # headline from the carried shipped arm: B*E/dt
+    assert got["value"] == pytest.approx(32 * 154000 / 0.0316, rel=1e-6)
+    assert got["vs_baseline"] == pytest.approx(172.4 / 31.6, rel=1e-6)
+    for field in ("cv_s", "train_step_cohort_ms", "spmm_pallas_f32_edges_per_s",
+                  "cv_foldparallel_s", "fold_deriv_s"):
+        assert got[field] is not None
+    cf = got["carried_forward"]
+    assert set(cf) == set(_fake_cache())
+    assert cf["cv"] == {"ts": "2026-08-20T00:00:00Z", "commit": "cafe123"}
+
+
+def test_carry_forward_does_not_mask_fresh_results(tmp_path, monkeypatch):
+    """A field measured THIS run must win over the cache."""
+    monkeypatch.setattr(bench, "_CACHE_PATH", str(tmp_path / "c.json"))
+    extras = {"cv_s": 15.0}
+    rec = _fake_cache()["cv"]
+    for k, v in rec["fields"].items():
+        if extras.get(k) is None:
+            extras[k] = v
+    assert extras["cv_s"] == 15.0        # fresh value kept
+    assert extras["epoch_s"] == 0.01     # missing field filled
+
+
+def test_anchor_tripwire_directions(tmp_path, monkeypatch):
+    anchors = {
+        "tolerance_pct": 10,
+        "anchors": {
+            "train_step_cohort_shipped_ms": {"value": 30.0, "better": "lower"},
+            "spmm_pallas_f32_edges_per_s": {"value": 3.0e8, "better": "higher"},
+        },
+    }
+    p = tmp_path / "ANCHORS.json"
+    p.write_text(json.dumps(anchors))
+    monkeypatch.setattr(bench, "_ANCHORS_PATH", str(p))
+
+    # 20% slower step + 20% lower throughput -> both flagged
+    deltas, regs = bench._anchor_report({
+        "train_step_cohort_shipped_ms": 36.0,
+        "spmm_pallas_f32_edges_per_s": 2.4e8,
+    })
+    assert deltas["train_step_cohort_shipped_ms"] == pytest.approx(-20.0)
+    assert deltas["spmm_pallas_f32_edges_per_s"] == pytest.approx(-20.0)
+    assert len(regs) == 2
+
+    # improvements -> positive deltas, no regressions
+    deltas, regs = bench._anchor_report({
+        "train_step_cohort_shipped_ms": 27.0,
+        "spmm_pallas_f32_edges_per_s": 3.6e8,
+    })
+    assert all(v > 0 for v in deltas.values())
+    assert regs == []
+
+    # within tolerance -> not flagged
+    deltas, regs = bench._anchor_report(
+        {"train_step_cohort_shipped_ms": 32.0}
+    )
+    assert regs == []
+
+
+def test_anchor_report_missing_file(monkeypatch):
+    monkeypatch.setattr(bench, "_ANCHORS_PATH", "/nonexistent/ANCHORS.json")
+    assert bench._anchor_report({"cv_s": 1.0}) == ({}, [])
+
+
+def test_repo_anchors_file_parses():
+    deltas, regs = bench._anchor_report({"train_step_cohort_shipped_ms": 31.6})
+    assert "train_step_cohort_shipped_ms" in deltas
