@@ -175,6 +175,11 @@ class TrainFns:
     # unjitted train_fold body for fold_parallel's vmap-over-units (jitted
     # once AFTER the vmap / shard_map wrap)
     train_fold_raw: Callable = None
+    # unjitted epoch-scan / eval-scan bodies: vmapped by diagnostics
+    # (tools/bench_fold_decomp.py) to attribute the one-dispatch loop's
+    # per-epoch cost to train-scan vs eval-scan vs loop overhead
+    train_epoch_raw: Callable = None
+    eval_scan_raw: Callable = None
 
 
 def make_loss_fn(model, cfg: Config) -> Callable:
@@ -243,8 +248,7 @@ def build_train_fns(model, cfg: Config) -> TrainFns:
             raw_data=jnp.take(raw, take, axis=0) if raw is not None else None,
         )
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_epoch(
+    def _train_epoch_raw(
         params, opt_state, data, take, mask, mult, step_idx, ctx,
         class_weight, rng0,
     ):
@@ -262,6 +266,8 @@ def build_train_fns(model, cfg: Config) -> TrainFns:
             body, (params, opt_state), xs
         )
         return params, opt_state, losses
+
+    train_epoch = partial(jax.jit, donate_argnums=(0, 1))(_train_epoch_raw)
 
     _ecfg = cfg.replace(
         weight_balance=False, weighted_loss=False, batch_weighted_loss=False,
@@ -371,5 +377,5 @@ def build_train_fns(model, cfg: Config) -> TrainFns:
 
     return TrainFns(
         train_step, eval_step, init_state, train_epoch, eval_scan,
-        train_fold, train_fold_raw,
+        train_fold, train_fold_raw, _train_epoch_raw, _eval_scan_inner,
     )
