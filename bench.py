@@ -364,11 +364,12 @@ def bench_cv(seed=0):
 
 
 def bench_cv_foldparallel(seed=0):
-    """Same protocol through the fold-vectorized driver: all 5 folds advance
-    as one vmapped step (train/fold_parallel.py).  DIAGNOSTIC arm: since
-    the r3 epoch scan, single-chip fold-parallel is dominated (measured
-    2026-08-19: 62 s vs 24 s sequential CV wall) — its regime is unit
-    sharding over >1 device (fold_parallel.recommended_arm).
+    """Same protocol through the fold-vectorized driver: since r4 all 5
+    folds x 10 epochs advance as ONE vmapped dispatch even at
+    devices=None (train/fold_parallel.py one-dispatch loop; the r3
+    per-step regime call was a mismeasurement — see
+    tools/bench_fold_decomp.py).  Sharding the unit axis (devices=N) is
+    the scaling regime; this arm tracks the single-chip cost.
 
     Two passes like bench_cv: the second (fresh-cohort) wall is the
     reported number; the first absorbs the process's program-load

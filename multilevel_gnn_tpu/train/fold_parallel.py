@@ -12,20 +12,20 @@ step:
   * a pod slice: shard the unit axis over the mesh — near-linear scaling
     with ZERO collectives (units never communicate), the ideal TPU regime.
     This is the arm's regime: `devices=N` spreads units across chips, and
-    there the WHOLE experiment additionally advances as ONE dispatch +
-    ONE host fetch (train/step.py:train_fold_raw vmapped over units,
-    shard_mapped over the mesh) — no per-step or per-epoch host round
-    trips at all.
-  * ONE chip: dominated since r3.  The r2 rationale (dispatch-bound
-    shipped protocols) was eliminated by the sequential driver's
-    device-side epoch scan (train/step.py:train_epoch) — measured on v5e
-    2026-08-19: sequential 0.063 s/epoch/fold (0.32 s for 5 folds) vs
-    0.65 s lockstep all-folds epoch here, CV wall 24 s vs 62 s.  The
-    one-dispatch whole-experiment loop is also NOT engaged single-chip:
-    the vmapped executable measured 1.55 s/epoch steady (2.4x the
-    per-step lockstep loop) plus a 200-560 s first-call program load
-    through the remote tunnel.  Use `recommended_arm` / the CLI default
-    (sequential) on a single device.
+    the WHOLE experiment additionally advances as ONE dispatch + ONE host
+    fetch (train/step.py:train_fold_raw vmapped over units, shard_mapped
+    over the mesh) — no per-step or per-epoch host round trips at all.
+  * ONE chip: the one-dispatch loop engages here too (devices=None, plain
+    vmap).  tools/bench_fold_decomp.py (v5e, 2026-08-20) measured it at
+    ~13 ms per unit-epoch, flat across U=5/10/25 — ~10x faster than the
+    per-step lockstep loop (host-bound on batch/eval stacking) and within
+    ~1.3x of the sequential driver's per-fold scan (0.010 s/epoch), so
+    sequential remains `recommended_arm` on one device mainly for its
+    incremental per-fold results and checkpointability.  (The r3 claim
+    that the vmapped executable ran 2.4x SLOWER than the lockstep loop
+    single-chip did not reproduce under chained-params honest timing;
+    the 200-560 s first-call program loads were tunnel weather, not a
+    property of the executable.)
 
 Semantics match the sequential driver exactly: per-unit host RNG streams
 (np.random.RandomState(seed + 1000*run + fold)), per-unit jax RNG
@@ -91,9 +91,10 @@ def _pad_batch(like):
 
 def recommended_arm(n_devices: int) -> str:
     """'sequential' | 'fold_parallel' by the measured regime (module
-    docstring): fold-parallel pays only when the unit axis can shard over
-    more than one device; on a single chip the epoch-scanned sequential
-    driver wins everywhere (v5e, 2026-08-19)."""
+    docstring): fold-parallel's regime is unit-sharding over >1 device.
+    On a single chip the two are within ~1.3x per unit-epoch (decomp
+    2026-08-20); sequential stays the default for incremental per-fold
+    results + mid-experiment checkpointability."""
     return "fold_parallel" if n_devices > 1 else "sequential"
 
 
@@ -300,19 +301,23 @@ def run_experiment_foldparallel(
     # train_fold_raw vmapped over the unit axis, shard_mapped over the
     # mesh): the ENTIRE experiment advances as ONE dispatch + ONE host
     # fetch — each chip fori-loops its local units' folds with no per-step
-    # or per-epoch host round trips.  Engaged ONLY in this arm's regime,
-    # `devices=N` (unit sharding): measured on one v5e chip 2026-08-19 the
-    # vmapped whole-experiment executable runs 1.55 s/epoch steady-state
-    # vs 0.65 s/epoch for the per-step lockstep loop AND pays a 200-560 s
-    # first-call program load through the remote tunnel — single-chip
-    # callers (devices=None) keep the per-step loop below.  Also requires
-    # the sequential fold scan's conditions (fresh run, no checkpointing,
-    # no variation aug) plus a shared device-resident data dict (raw is
-    # fold-dependent for DeeperGCN/PathCNN-precomputed — those fall back
-    # to the per-step loop).
+    # or per-epoch host round trips.  Engaged for BOTH devices=None (plain
+    # vmap) and devices=N (unit sharding): the r3 decision to keep the
+    # per-step loop single-chip rested on a 1.55 s/epoch measurement that
+    # did NOT reproduce — tools/bench_fold_decomp.py (v5e, 2026-08-20,
+    # chained-params honest timing) measured the one-dispatch executable
+    # at 0.063/0.126/0.328 s per all-units epoch for U=5/10/25 vs
+    # 0.60/1.03/2.41 for the per-step lockstep loop (~10x: the per-step
+    # loop is host-bound on per-step batch stacking + per-batch eval
+    # stacking), with per-unit cost flat (~13 ms/unit-epoch) and the
+    # fori_loop's overhead NEGATIVE (-0.05 s/epoch: two host round trips
+    # saved vs separate train/eval dispatches).  Requires the sequential
+    # fold scan's conditions (fresh run, no checkpointing, no variation
+    # aug) plus a shared device-resident data dict (raw is fold-dependent
+    # for DeeperGCN/PathCNN-precomputed — those fall back to the per-step
+    # loop).
     use_fold_scan = (
-        devices is not None
-        and bool(cfg.epoch_scan)
+        bool(cfg.epoch_scan)
         and bool(cfg.fold_scan)
         and fns.train_fold_raw is not None
         and ckpt_dir is None

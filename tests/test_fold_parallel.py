@@ -121,17 +121,23 @@ def test_foldparallel_checkpoint_resume_and_predict(tmp_path):
 
 
 def test_foldparallel_fold_scan_matches_per_step_arm():
-    """The ONE-dispatch whole-experiment device loop (engaged in the
-    devices=N regime) == the per-step lockstep loop — same plans, same
-    global step counter, same best-by-valid selection.  devices=1 drives
-    the scan path's full shard_map machinery on a 1-device mesh;
-    fold_scan=False forces the per-step loop on the same mesh."""
+    """The ONE-dispatch whole-experiment device loop == the per-step
+    lockstep loop — same plans, same global step counter, same
+    best-by-valid selection.  devices=1 drives the scan path's full
+    shard_map machinery on a 1-device mesh; fold_scan=False forces the
+    per-step loop on the same mesh.  Since r4 the one-dispatch loop also
+    engages at devices=None (plain vmap — measured ~10x faster than the
+    per-step loop, tools/bench_fold_decomp.py), so the no-devices run
+    must take it AND still match."""
     cfg = _tiny_cfg(epochs=3)
     cohort = make_synthetic_cohort(cfg, seed=0, n_patients=50, n_pathways=5)
     scan = run_experiment_foldparallel(cfg, cohort, devices=1)
+    assert scan["arm"] == "one-dispatch"
     per_step = run_experiment_foldparallel(
         cfg.replace(fold_scan=False), cohort, devices=1
     )
-    per_step_nodev = run_experiment_foldparallel(cfg, cohort)
+    assert per_step["arm"] == "per-step"
+    scan_nodev = run_experiment_foldparallel(cfg, cohort)
+    assert scan_nodev["arm"] == "one-dispatch"
     _check(per_step, scan)
-    _check(per_step_nodev, scan)
+    _check(scan_nodev, scan)
