@@ -22,6 +22,23 @@ class Config:
     # ---- paths / dataset identity (opt.py:13-97)
     cancer_type: str = "gbm"
     data_dir: str = "./data"
+    # Explicit reference-style per-file paths (opt.py:19-62).  Like the
+    # reference (train.py:233-234), '{}' placeholders are formatted with
+    # cancer_type; when --data-dir is also given, a leading './data/' (the
+    # reference's repo-relative data root) is re-rooted there.  Unset
+    # fields resolve under data_dir by filename convention — ours first,
+    # then the reference download's default names (train/cli.py:
+    # _resolve_data_paths), so a reference checkout's data directory
+    # works without renaming anything.
+    raw_mrna_path: Optional[str] = None
+    raw_cnv_path: Optional[str] = None
+    raw_methylation_path: Optional[str] = None
+    clinical_path: Optional[str] = None
+    node_path: Optional[str] = None
+    edge_path: Optional[str] = None
+    grn_edge_path: Optional[str] = None
+    kegg_path: Optional[str] = None
+    pathway_path: Optional[str] = None
     pathway_num: int = 146
     risk_threshold: int = 24
     use_column: Optional[str] = None
@@ -330,9 +347,6 @@ class Config:
         # keys present in reference YAMLs that the new pipeline does not need
         ignored = {
             "device", "num_workers", "use_gpu", "name_pre", "time", "config",
-            "raw_mrna_path", "raw_cnv_path", "raw_methylation_path",
-            "clinical_path", "node_path", "edge_path", "grn_edge_path",
-            "kegg_path", "pathway_path",
             "position_embedding", "add_hat",
             "first_conv_channel", "hidden_head",
             "pca_all", "set_all_seed", "freeze_dataloader_init",

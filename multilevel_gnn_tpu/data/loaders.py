@@ -33,6 +33,12 @@ def drop_na_line(df: pd.DataFrame, percent: float = 0.9) -> pd.DataFrame:
 
 
 def load_pathway_list(path: str) -> List[str]:
+    """Ordered used-pathway list: txt (one code per line), xlsx first
+    column, or the reference's pickled list (opt.py:60
+    pathcnn_pathway_codes.pkl, loaded at multiloader.py:55-56)."""
+    if path.endswith(".pkl"):
+        with open(path, "rb") as f:
+            return list(pickle.load(f))
     if path.endswith(".xlsx"):
         return pd.read_excel(path, header=None)[0].tolist()
     with open(path) as f:

@@ -29,6 +29,80 @@ def parse_overrides(pairs):
     return overrides
 
 
+# Per-file fallback names under data_dir: OUR conventional name first,
+# then the reference download's default filename (reference opt.py:19-62
+# argparse defaults, './data/' prefix stripped) — so pointing --data-dir
+# at an untouched reference data directory works without renaming.
+_DATA_CANDIDATES = {
+    "raw_mrna": ("{ct}/raw_mrna.csv", "{ct}/pathcnn_raw_mrna_pid_u133.csv"),
+    "raw_cnv": ("{ct}/raw_cnv.csv", "{ct}/pathcnn_raw_cnv_pid.csv"),
+    "raw_methylation": (
+        "{ct}/raw_methylation.csv",
+        "{ct}/pathcnn_raw_methylation_pid.csv",
+    ),
+    "clinical": ("{ct}/clinical.pkl", "{ct}/pathcnn_clinical_data.pkl"),
+    "kegg": ("kegg.csv", "kegg_52.csv"),
+    "pathway": ("pathways.txt", "pathcnn_pathway_codes.pkl"),
+    "node": ("node.csv", "pathcnn_node.csv"),
+    "edge": (
+        "{ct}/grn_edges.tsv",
+        "{ct}/pyscenic_adj_nes1.0_auc0.01_weighted_l1.tsv",
+    ),
+    "grn_edge": ("grn_edges.tsv", "adjacencies.csv"),
+}
+
+
+def _resolve_data_paths(cfg, data_dir):
+    """Resolve the cohort's input files (reference opt.py:19-62 path
+    flags; train.py:233-234 formatting semantics).
+
+    Explicit path fields (cfg.raw_mrna_path, ...) win when set: '{}' is
+    formatted with cancer_type exactly like the reference, and — when
+    --data-dir is also given — a leading './data/' (the reference's
+    repo-relative data root) is re-rooted under data_dir.  Unset fields
+    fall back to the first existing candidate filename under data_dir
+    (our conventional names, then the reference's defaults)."""
+    d = data_dir or cfg.data_dir
+    ct = cfg.cancer_type
+
+    def resolve(key, explicit):
+        if explicit:
+            p = explicit.format(ct)
+            if data_dir and not os.path.isabs(p):
+                for pre in ("./data/", "data/"):
+                    if p.startswith(pre):
+                        p = os.path.join(data_dir, p[len(pre):])
+                        break
+            return p
+        cands = [
+            os.path.join(d, c.format(ct=ct)) for c in _DATA_CANDIDATES[key]
+        ]
+        for c in cands:
+            if os.path.exists(c):
+                return c
+        return cands[0]  # loader raises with the conventional name
+
+    return {
+        "mrna_path": resolve("raw_mrna", cfg.raw_mrna_path),
+        "cnv_path": resolve("raw_cnv", cfg.raw_cnv_path),
+        "methylation_path": resolve("raw_methylation", cfg.raw_methylation_path),
+        "clinical_path": resolve("clinical", cfg.clinical_path),
+        "kegg_path": resolve("kegg", cfg.kegg_path),
+        "pathway_list_path": resolve("pathway", cfg.pathway_path),
+        "edge_path": resolve("edge", cfg.edge_path),
+        "ppi_node_path": (
+            resolve("node", cfg.node_path)
+            if cfg.edge_type in ("ppi", "merge")
+            else None
+        ),
+        "grn_edge_path": (
+            resolve("grn_edge", cfg.grn_edge_path)
+            if cfg.edge_type == "merge"
+            else None
+        ),
+    }
+
+
 def make_cohort(cfg, synthetic: bool, data_dir=None, debug: bool = False):
     """Cohort construction shared by the train and predict CLIs."""
     if synthetic:
@@ -42,18 +116,7 @@ def make_cohort(cfg, synthetic: bool, data_dir=None, debug: bool = False):
         )
     from multilevel_gnn_tpu.data.loaders import load_cohort_from_files
 
-    d = data_dir or cfg.data_dir
-    ct = cfg.cancer_type
-    return load_cohort_from_files(
-        f"{d}/{ct}/raw_mrna.csv",
-        f"{d}/{ct}/raw_cnv.csv",
-        f"{d}/{ct}/raw_methylation.csv",
-        f"{d}/{ct}/clinical.pkl",
-        f"{d}/kegg.csv",
-        f"{d}/pathways.txt",
-        f"{d}/{ct}/grn_edges.tsv",
-        cfg,
-    )
+    return load_cohort_from_files(cfg=cfg, **_resolve_data_paths(cfg, data_dir))
 
 
 def main(argv=None):
@@ -163,6 +226,11 @@ def main(argv=None):
         )
     )
     if args.out:
+        import dataclasses
+
+        # the reference writes command.txt next to results.pth
+        # (train.py:225-226); embed the resolved config instead
+        results["config"] = dataclasses.asdict(cfg)
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
 
