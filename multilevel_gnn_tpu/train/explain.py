@@ -66,14 +66,96 @@ def pathway_attributions(
 
 def explain_cohort(
     model, params, cohort, ctx: FoldContext, batch: Batch,
-    steps: int = 16,
+    steps: int = 16, idx=None,
 ) -> List[Dict]:
-    """IG + per-pathway survival screen; returns rows sorted by log-rank p."""
+    """IG + per-pathway survival screen; returns rows sorted by log-rank p.
+
+    idx: cohort patient indices of the batch rows (default: the first
+    batch-size patients in cohort order)."""
     from multilevel_gnn_tpu.utils.survival import pathway_km_screen
 
     ig = integrated_gradients(model, params, batch, ctx, steps=steps)
     scores = pathway_attributions(ig, ctx, cohort.n_pathways)
     n = scores.shape[0]
-    times = np.array([cohort.survive_time[p] for p in cohort.patients[:n]])
-    events = np.array([cohort.survive_state[p] for p in cohort.patients[:n]])
+    if idx is None:
+        idx = np.arange(n)
+    pats = [cohort.patients[i] for i in np.asarray(idx)[:n]]
+    times = np.array([cohort.survive_time[p] for p in pats])
+    events = np.array([cohort.survive_state[p] for p in pats])
     return pathway_km_screen(scores, times, events, cohort.used_pathways)
+
+
+def main(argv=None):
+    """``mgtpu-explain``: IG pathway attributions + KM screen for a trained
+    checkpoint — the reference's implied igscore/KM workflow as one
+    command (mirrors mgtpu-predict's checkpoint/fold plumbing)."""
+    import argparse
+    import json
+    import logging
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--ckpt-dir", required=True)
+    ap.add_argument("--run", type=int, default=0)
+    ap.add_argument("--fold", type=int, default=0)
+    ap.add_argument("--step", type=int, default=None,
+                    help="checkpoint step (default: latest)")
+    ap.add_argument("--split", default="test",
+                    choices=["test", "valid", "train", "all"])
+    ap.add_argument("--ig-steps", type=int, default=16,
+                    help="integrated-gradients Riemann steps")
+    ap.add_argument("--top", type=int, default=20,
+                    help="pathways printed (all rows go to --out)")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--debug", action="store_true")
+    ap.add_argument("--out", default=None, help="attribution rows json path")
+    ap.add_argument("--set", nargs="*", default=[], help="key=value overrides")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+    import jax.numpy as jnp
+
+    from multilevel_gnn_tpu.core.config import Config
+    from multilevel_gnn_tpu.train.cli import make_cohort, parse_overrides
+    from multilevel_gnn_tpu.train.predict import load_fold_state
+    from multilevel_gnn_tpu.utils.runtime import (
+        configure_backend,
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    cfg = Config.from_yaml(args.config, **parse_overrides(args.set))
+    if args.debug:
+        cfg = cfg.replace(num_run=1, epochs=5, batch_size=8)
+    configure_backend(cfg)
+    cohort = make_cohort(cfg, args.synthetic, args.data_dir, args.debug)
+
+    st = load_fold_state(
+        cfg, cohort, args.ckpt_dir, args.run, args.fold, step=args.step
+    )
+    idx = st["splits"][args.split]
+    X = np.asarray(st["X"])
+    batch = Batch(
+        x=jnp.asarray(X[idx]),
+        y=jnp.asarray(cohort.Y[idx]),
+        age=jnp.asarray(cohort.ages[idx]),
+        sample_mask=jnp.ones(len(idx), bool),
+    )
+    rows = explain_cohort(
+        st["model"], st["params"], cohort, st["ctx"], batch,
+        steps=args.ig_steps, idx=idx,
+    )
+    print(json.dumps({
+        "run": args.run, "fold": args.fold, "split": args.split,
+        "patients": int(len(idx)),
+        "top_pathways": rows[: args.top],
+    }))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rows, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

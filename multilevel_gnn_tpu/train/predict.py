@@ -26,24 +26,26 @@ import jax
 import numpy as np
 
 
-def predict_fold(
+def load_fold_state(
     cfg,
     cohort,
-    ckpt_dir: str,
+    ckpt_dir: Optional[str],
     run_i: int = 0,
     fold_i: int = 0,
-    split: str = "test",
     step: Optional[int] = None,
     params=None,
 ) -> Dict:
-    """Score one (run, fold)'s ``split`` patients with its checkpoint.
+    """Re-derive one (run, fold)'s deterministic splits + fold context and
+    load its driver checkpoint.  Shared by the predict and explain CLIs.
 
     params: pass an in-memory param tree to skip the checkpoint load (used
-    by tests to check train->save->predict round trips)."""
+    by tests to check train->save->predict round trips).
+
+    Returns dict with cfg, fold, ctx, X, raw, model, fns, params, and the
+    split index arrays (train/valid/test/all)."""
     from multilevel_gnn_tpu.train import checkpoint as C
     from multilevel_gnn_tpu.train.driver import (
         _shared_fns,
-        evaluate,
         fold_setup,
         iter_batches,
         stratified_kfold,
@@ -55,12 +57,12 @@ def predict_fold(
     inner = stratified_kfold(labels[tune], 5, cfg.split_shaffle, cfg.split_seed)
     tr, va = inner[0]
     train_idx, valid_idx = tune[tr], tune[va]
-    idx = {
+    splits = {
         "test": test_idx,
         "valid": valid_idx,
         "train": train_idx,
         "all": np.arange(len(labels)),
-    }[split]
+    }
 
     cfg, fold, X, raw = fold_setup(cfg, cohort, train_idx, fold_i)
     ctx = fold.ctx
@@ -84,6 +86,30 @@ def predict_fold(
             tag_dir, {"params": like_params, "opt_state": like_opt}, step=step
         )
         params = tree["params"]
+
+    return {
+        "cfg": cfg, "fold": fold, "ctx": ctx, "X": X, "raw": raw,
+        "model": model, "fns": fns, "params": params, "splits": splits,
+    }
+
+
+def predict_fold(
+    cfg,
+    cohort,
+    ckpt_dir: str,
+    run_i: int = 0,
+    fold_i: int = 0,
+    split: str = "test",
+    step: Optional[int] = None,
+    params=None,
+) -> Dict:
+    """Score one (run, fold)'s ``split`` patients with its checkpoint."""
+    from multilevel_gnn_tpu.train.driver import evaluate
+
+    st = load_fold_state(cfg, cohort, ckpt_dir, run_i, fold_i, step, params)
+    cfg, ctx, X, raw = st["cfg"], st["ctx"], st["X"], st["raw"]
+    fns, params = st["fns"], st["params"]
+    idx = st["splits"][split]
 
     auc, acc, y_true, score, loss = evaluate(
         fns, params, ctx, X, cohort.Y, cohort.ages, idx, cfg.batch_size,

@@ -43,3 +43,36 @@ def test_integrated_gradients_completeness():
 
     rows = explain_cohort(m, params, cohort, fold.ctx, b, steps=8)
     assert len(rows) >= 1 and "p" in rows[0]
+
+
+def test_explain_cli_roundtrip(tmp_path):
+    """mgtpu-train -> checkpoint -> mgtpu-explain end to end: the IG + KM
+    screen runs off the driver's checkpoint via the shared fold plumbing
+    (train/predict.load_fold_state) and emits ranked pathway rows."""
+    import json
+
+    import multilevel_gnn_tpu.train.cli as cli
+    import multilevel_gnn_tpu.train.explain as explain
+
+    cfgp = tmp_path / "cfg.yaml"
+    cfgp.write_text(
+        "cancer_type: synth\nmodel: multilevel_gnn\ngnn_name: sage\n"
+        "num_run: 1\nepochs: 2\nbatch_size: 8\nsplit_shaffle: true\n"
+        "split_seed: 3\nckpt_every: 2\n"
+    )
+    out = tmp_path / "attr.json"
+    cli.main([
+        "--config", str(cfgp), "--synthetic", "--debug",
+        "--ckpt-dir", str(tmp_path / "ckpt"),
+    ])
+    explain.main([
+        "--config", str(cfgp), "--synthetic", "--debug",
+        "--ckpt-dir", str(tmp_path / "ckpt"), "--ig-steps", "4",
+        "--out", str(out),
+    ])
+    rows = json.loads(out.read_text())
+    assert len(rows) >= 1
+    assert {"pathway", "p"} <= set(rows[0])
+    # rows are the KM screen, sorted by log-rank p
+    ps = [r["p"] for r in rows]
+    assert ps == sorted(ps)
