@@ -182,19 +182,28 @@ def bench_spmm(backend: str, seed=0, fingerprint=False):
     x = jax.block_until_ready(jax.device_put(x))
     fp = None
     if fingerprint:
+        import re
+
+        def _stable_hash(text: str) -> str:
+            # strip source-location metadata: the HLO/stablehlo text embeds
+            # bench.py file/line provenance (loc("...") tokens and
+            # metadata={...source_line=N}), so unrelated edits to this
+            # file shifted the hashes across rounds (observed r4:
+            # 5944667d -> 0b15081d with identical perf).  Hash only the
+            # program structure.
+            text = re.sub(r'loc\("[^"]*"[^)]*\)', "loc()", text)
+            text = re.sub(r"metadata=\{[^}]*\}", "", text)
+            return hashlib.sha256(text.encode()).hexdigest()[:16]
+
         fp = {}
         try:
             lowered = fn.lower(x)
-            fp["hlo_hash"] = hashlib.sha256(
-                lowered.as_text().encode()
-            ).hexdigest()[:16]
+            fp["hlo_hash"] = _stable_hash(lowered.as_text())
             compiled = lowered.compile()  # populates fn's executable cache
             try:
                 # post-optimization text embeds the Mosaic custom-call
                 # payload -> captures remote codegen drift
-                fp["compiled_hash"] = hashlib.sha256(
-                    compiled.as_text().encode()
-                ).hexdigest()[:16]
+                fp["compiled_hash"] = _stable_hash(compiled.as_text())
             except Exception as e:
                 fp["compiled_hash"] = f"unavailable: {type(e).__name__}"
         except Exception as e:
