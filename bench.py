@@ -147,6 +147,21 @@ def timeit_chained(fn, x0, iters=40, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
+def _stable_program_hash(text: str) -> str:
+    """Hash HLO/stablehlo text with source-location metadata stripped.
+
+    The program text embeds bench.py file/line provenance (``loc("...")``
+    tokens and ``metadata={...source_line=N}``), so unrelated edits to
+    this file shifted the codegen fingerprints across rounds (observed
+    r4: hlo_hash 5944667d -> 0b15081d with identical perf).  Hashing
+    only the program structure makes the drift tripwire edit-insensitive."""
+    import re
+
+    text = re.sub(r'loc\("[^"]*"[^)]*\)', "loc()", text)
+    text = re.sub(r"metadata=\{[^}]*\}", "", text)
+    return hashlib.sha256(text.encode()).hexdigest()[:16]
+
+
 def bench_spmm(backend: str, seed=0, fingerprint=False):
     """fingerprint=True also returns codegen hashes (pre-opt HLO + post-
     compile text when the backend exposes it) so kernel-throughput drift
@@ -182,28 +197,15 @@ def bench_spmm(backend: str, seed=0, fingerprint=False):
     x = jax.block_until_ready(jax.device_put(x))
     fp = None
     if fingerprint:
-        import re
-
-        def _stable_hash(text: str) -> str:
-            # strip source-location metadata: the HLO/stablehlo text embeds
-            # bench.py file/line provenance (loc("...") tokens and
-            # metadata={...source_line=N}), so unrelated edits to this
-            # file shifted the hashes across rounds (observed r4:
-            # 5944667d -> 0b15081d with identical perf).  Hash only the
-            # program structure.
-            text = re.sub(r'loc\("[^"]*"[^)]*\)', "loc()", text)
-            text = re.sub(r"metadata=\{[^}]*\}", "", text)
-            return hashlib.sha256(text.encode()).hexdigest()[:16]
-
         fp = {}
         try:
             lowered = fn.lower(x)
-            fp["hlo_hash"] = _stable_hash(lowered.as_text())
+            fp["hlo_hash"] = _stable_program_hash(lowered.as_text())
             compiled = lowered.compile()  # populates fn's executable cache
             try:
                 # post-optimization text embeds the Mosaic custom-call
                 # payload -> captures remote codegen drift
-                fp["compiled_hash"] = _stable_hash(compiled.as_text())
+                fp["compiled_hash"] = _stable_program_hash(compiled.as_text())
             except Exception as e:
                 fp["compiled_hash"] = f"unavailable: {type(e).__name__}"
         except Exception as e:

@@ -141,3 +141,24 @@ def test_anchor_report_missing_file(monkeypatch):
 def test_repo_anchors_file_parses():
     deltas, regs = bench._anchor_report({"train_step_cohort_shipped_ms": 31.6})
     assert "train_step_cohort_shipped_ms" in deltas
+
+
+def test_stable_program_hash_ignores_source_locations():
+    """Codegen fingerprints must not move when bench.py (or any caller)
+    is edited: HLO text embeds loc("file":line) provenance and
+    metadata={...source_line=N}; only structural changes may change the
+    hash (observed r4: identical programs hashed 5944667d vs 0b15081d
+    after unrelated bench.py edits)."""
+    a = (
+        'func.func public @main(%arg0: tensor<4xf32> loc("x")) {\n'
+        '  %0 = stablehlo.add %arg0, %arg0 loc("/root/repo/bench.py":175:4)\n'
+        '  %1 = f32[4] add(%0, %0), metadata={op_name="jit" '
+        'source_file="bench.py" source_line=175}\n'
+        "}\n"
+    )
+    b = a.replace('":175:4', '":9175:8').replace("source_line=175",
+                                                 "source_line=9175")
+    c = a.replace("add", "multiply")
+    ha, hb, hc = map(bench._stable_program_hash, (a, b, c))
+    assert ha == hb  # location-only diff -> same fingerprint
+    assert ha != hc  # structural diff -> different fingerprint
