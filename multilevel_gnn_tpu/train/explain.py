@@ -32,7 +32,11 @@ def integrated_gradients(
     steps: int = 32,
     baseline=None,
 ):
-    """IG(x) = (x - x0) * mean_k d f(x0 + k/steps (x - x0)) / dx."""
+    """IG(x) = (x - x0) * mean_k d f(x0 + k/steps (x - x0)) / dx.
+
+    One jitted dispatch: the midpoint accumulation is a ``lax.scan`` over
+    the step axis (memory = a single gradient; an unrolled host loop would
+    pay 2 tunnel round trips per step and an op-by-op backward)."""
     x = batch.x
     x0 = jnp.zeros_like(x) if baseline is None else baseline
 
@@ -43,11 +47,18 @@ def integrated_gradients(
         return pred[:, target_col].sum()
 
     grad_f = jax.grad(f)
-    alphas = (np.arange(steps) + 0.5) / steps  # midpoint rule
-    total = jnp.zeros_like(x)
-    for a in alphas:
-        total = total + grad_f(x0 + a * (x - x0))
-    return (x - x0) * total / steps
+    alphas = jnp.asarray((np.arange(steps) + 0.5) / steps,
+                         dtype=x.dtype)  # midpoint rule
+
+    @jax.jit
+    def ig(x, x0):
+        def body(tot, a):
+            return tot + grad_f(x0 + a * (x - x0)), None
+
+        total, _ = jax.lax.scan(body, jnp.zeros_like(x), alphas)
+        return (x - x0) * total / steps
+
+    return ig(x, x0)
 
 
 def pathway_attributions(
@@ -135,18 +146,38 @@ def main(argv=None):
     st = load_fold_state(
         cfg, cohort, args.ckpt_dir, args.run, args.fold, step=args.step
     )
-    idx = st["splits"][args.split]
+    idx = np.asarray(st["splits"][args.split])
     X = np.asarray(st["X"])
-    batch = Batch(
-        x=jnp.asarray(X[idx]),
-        y=jnp.asarray(cohort.Y[idx]),
-        age=jnp.asarray(cohort.ages[idx]),
-        sample_mask=jnp.ones(len(idx), bool),
-    )
-    rows = explain_cohort(
-        st["model"], st["params"], cohort, st["ctx"], batch,
-        steps=args.ig_steps, idx=idx,
-    )
+
+    # chunk the split at the training batch size: bounds device memory at
+    # reference scale (a whole 'all' split is 400 x 15405-slot activations
+    # through a backward) and reuses ONE compiled IG executable across
+    # chunks (tail padded, padded rows discarded)
+    from multilevel_gnn_tpu.utils.survival import pathway_km_screen
+
+    bs = cfg.batch_size
+    scores = []
+    for lo in range(0, len(idx), bs):
+        part = idx[lo:lo + bs]
+        pad = bs - len(part)
+        part_p = np.concatenate([part, np.repeat(part[-1:], pad)])
+        batch = Batch(
+            x=jnp.asarray(X[part_p]),
+            y=jnp.asarray(cohort.Y[part_p]),
+            age=jnp.asarray(cohort.ages[part_p]),
+            sample_mask=jnp.arange(bs) < len(part),
+        )
+        ig = integrated_gradients(
+            st["model"], st["params"], batch, st["ctx"], steps=args.ig_steps
+        )
+        scores.append(
+            pathway_attributions(ig, st["ctx"], cohort.n_pathways)[: len(part)]
+        )
+    scores = np.concatenate(scores, axis=0)
+    pats = [cohort.patients[i] for i in idx]
+    times = np.array([cohort.survive_time[p] for p in pats])
+    events = np.array([cohort.survive_state[p] for p in pats])
+    rows = pathway_km_screen(scores, times, events, cohort.used_pathways)
     print(json.dumps({
         "run": args.run, "fold": args.fold, "split": args.split,
         "patients": int(len(idx)),
