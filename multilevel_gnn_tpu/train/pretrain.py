@@ -131,8 +131,7 @@ def build_pretrain(
         d = vqvae_loss(out["pred_x"], target, out["vq_loss"], cfg)
         return d["loss"], d
 
-    @jax.jit
-    def step(params, opt_state, batch, key):
+    def _step_inner(params, opt_state, batch, key):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, key
         )
@@ -140,10 +139,39 @@ def build_pretrain(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    step = jax.jit(_step_inner)
+
+    @jax.jit
+    def epoch_fn(params, opt_state, data, plan, step0):
+        """Device-side pretraining epoch (cfg.epoch_scan, same policy as
+        the main driver's train_epoch, step.py:295-309): data device
+        -resident, one lax.scan over the epoch's (S, B) batch plan, ONE
+        loss fetch per epoch — the per-step host loop paid a device->host
+        sync + ~2 MB batch transfer per step through the tunnel."""
+        Xd, Yd, Ad, Rd = data
+        B = plan.shape[1]
+
+        def body(carry, xs):
+            p, o = carry
+            s, idxs = xs
+            b = Batch(
+                x=Xd[idxs], y=Yd[idxs], age=Ad[idxs],
+                sample_mask=jnp.ones(B, bool), raw_data=Rd[idxs],
+            )
+            key = jax.random.fold_in(rng0, step0 + s)
+            p, o, loss = _step_inner(p, o, b, key)
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state),
+            (jnp.arange(plan.shape[0]), plan),
+        )
+        return params, opt_state, losses.mean()
+
     return dict(
         cfg=cfg, model=model, ctx=ctx, fold=fold, params=params,
-        opt_state=opt_state, step=step, rng0=rng0, X=X, Y=Y, ages=ages,
-        raw=raw, train_idx=train_idx, b0=b0,
+        opt_state=opt_state, step=step, epoch_fn=epoch_fn, rng0=rng0,
+        X=X, Y=Y, ages=ages, raw=raw, train_idx=train_idx, b0=b0,
     )
 
 
@@ -164,25 +192,44 @@ def pretrain_autoencoder(
     epochs = epochs or cfg.epochs
 
     np_rng = np.random.RandomState(cfg.seed)
+    B = cfg.batch_size
+    use_scan = cfg.epoch_scan
+    if use_scan:
+        data = jax.device_put((
+            jnp.asarray(X), jnp.asarray(Y), jnp.asarray(ages),
+            jnp.asarray(raw),
+        ))
     step_i = 0
     for epoch in range(1, epochs + 1):
-        losses = []
         order = np_rng.permutation(len(train_idx))
-        for off in range(0, len(order) - cfg.batch_size + 1, cfg.batch_size):
-            idxs = train_idx[order[off : off + cfg.batch_size]]
-            b = Batch(
-                x=jnp.asarray(X[idxs]),
-                y=jnp.asarray(Y[idxs]),
-                age=jnp.asarray(ages[idxs]),
-                sample_mask=jnp.ones(len(idxs), bool),
-                raw_data=jnp.asarray(raw[idxs]),
+        if use_scan:
+            # same batches + fold_in stream as the per-step path
+            S = len(order) // B
+            plan = np.asarray(
+                train_idx[order[: S * B]].reshape(S, B), np.int32
             )
-            key = jax.random.fold_in(rng0, step_i)
-            params, opt_state, loss = step(params, opt_state, b, key)
-            losses.append(float(loss))
-            step_i += 1
-        log.info("pretrain %s epoch %d loss %.5f", kind, epoch,
-                 float(np.mean(losses)))
+            params, opt_state, mean_loss = s["epoch_fn"](
+                params, opt_state, data, jnp.asarray(plan), step_i
+            )
+            mean_loss = float(mean_loss)
+            step_i += S
+        else:
+            losses = []
+            for off in range(0, len(order) - B + 1, B):
+                idxs = train_idx[order[off: off + B]]
+                b = Batch(
+                    x=jnp.asarray(X[idxs]),
+                    y=jnp.asarray(Y[idxs]),
+                    age=jnp.asarray(ages[idxs]),
+                    sample_mask=jnp.ones(len(idxs), bool),
+                    raw_data=jnp.asarray(raw[idxs]),
+                )
+                key = jax.random.fold_in(rng0, step_i)
+                params, opt_state, loss = step(params, opt_state, b, key)
+                losses.append(float(loss))
+                step_i += 1
+            mean_loss = float(np.mean(losses))
+        log.info("pretrain %s epoch %d loss %.5f", kind, epoch, mean_loss)
     return params, model, ctx, fold
 
 

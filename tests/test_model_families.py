@@ -205,3 +205,28 @@ def test_vqvae_straight_through():
         g["params"]["node_embedding"]
     )[0]
     assert float(jnp.abs(emb_grad).sum()) > 0
+
+
+def test_pretrain_epoch_scan_equivalence():
+    """The device-side pretraining epoch scan (cfg.epoch_scan, the shipped
+    default) reproduces the per-step host loop exactly: same batches from
+    the same host permutation stream, same fold_in key sequence, same
+    final params."""
+    import flax
+
+    cfg, cohort = make_cohort(model="autoencoder", decoder_type="flatten")
+    cfg = cfg.replace(decoder_dim=64, epochs=2, batch_size=8, lr=1e-3)
+    p_scan, _, _, _ = pretrain_autoencoder(
+        cfg.replace(epoch_scan=True), cohort, "autoencoder", epochs=2
+    )
+    p_loop, _, _, _ = pretrain_autoencoder(
+        cfg.replace(epoch_scan=False), cohort, "autoencoder", epochs=2
+    )
+    a = flax.traverse_util.flatten_dict(p_scan)
+    b = flax.traverse_util.flatten_dict(p_loop)
+    assert set(a) == set(b)
+    for path in a:
+        np.testing.assert_allclose(
+            np.asarray(a[path]), np.asarray(b[path]), rtol=1e-6, atol=1e-6,
+            err_msg="/".join(map(str, path)),
+        )
