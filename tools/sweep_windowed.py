@@ -8,10 +8,13 @@ rules; data seed from the clock.
 
 Usage: python tools/sweep_windowed.py
 """
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
