@@ -16,6 +16,10 @@ The artifact embeds the whole fold context (MI masks, PCA params, edge
 arrays) as inputs, and the leaves are stored as a flat npz — no flax, no
 model classes, no pytree registrations needed at load time.
 
+Validated on v5e (2026-08-20): the shipped pallas+windowed stack's
+Mosaic custom calls serialize and rehydrate (platforms=["tpu"], first
+call 1.1 s warm); the CPU/XLA-backend artifact is the portable variant.
+
 CLI::
 
     mgtpu-export --config configs/gbm.yaml --ckpt-dir CKPT \
