@@ -67,7 +67,13 @@ def _resolve_data_paths(cfg, data_dir):
 
     def resolve(key, explicit):
         if explicit:
-            p = explicit.format(ct)
+            # only '{}' is a placeholder (reference train.py:233 .format
+            # semantics); literal braces ('{ct}'-style paths, glob sets)
+            # must not turn a path typo into an opaque format exception
+            if "{}" in explicit:
+                p = explicit.replace("{}", ct)
+            else:
+                p = explicit
             if data_dir and not os.path.isabs(p):
                 for pre in ("./data/", "data/"):
                     if p.startswith(pre):

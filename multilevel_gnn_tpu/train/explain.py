@@ -23,6 +23,43 @@ import numpy as np
 from multilevel_gnn_tpu.core.batch import Batch, FoldContext
 
 
+# jitted-IG memo: one compiled executable per (model, steps, target_col) —
+# params/ctx/batch ride as pytree ARGUMENTS so the CLI's per-chunk calls
+# (and per-fold reloads) reuse the same wrapper instead of re-tracing and
+# re-loading the program every chunk (advisor r4 medium finding).
+_IG_FNS: dict = {}
+
+
+def _ig_fn(model, steps: int, target_col: int):
+    key = (id(model), steps, target_col)
+    hit = _IG_FNS.get(key)
+    if hit is not None and hit[0] is model:  # id() reuse guard
+        return hit[1]
+
+    def f(params, ctx, batch, xi):
+        b = Batch(x=xi, y=batch.y, age=batch.age,
+                  sample_mask=batch.sample_mask, raw_data=batch.raw_data)
+        pred, _ = model.apply(params, b, ctx, False)
+        return pred[:, target_col].sum()
+
+    grad_f = jax.grad(f, argnums=3)
+
+    @jax.jit
+    def ig(params, ctx, batch, x, x0):
+        alphas = jnp.asarray(
+            (np.arange(steps) + 0.5) / steps, dtype=x.dtype
+        )  # midpoint rule
+
+        def body(tot, a):
+            return tot + grad_f(params, ctx, batch, x0 + a * (x - x0)), None
+
+        total, _ = jax.lax.scan(body, jnp.zeros_like(x), alphas)
+        return (x - x0) * total / steps
+
+    _IG_FNS[key] = (model, ig)
+    return ig
+
+
 def integrated_gradients(
     model,
     params,
@@ -36,29 +73,12 @@ def integrated_gradients(
 
     One jitted dispatch: the midpoint accumulation is a ``lax.scan`` over
     the step axis (memory = a single gradient; an unrolled host loop would
-    pay 2 tunnel round trips per step and an op-by-op backward)."""
+    pay 2 tunnel round trips per step and an op-by-op backward).  The
+    jitted wrapper is memoized per (model, steps, target_col) so repeated
+    calls — the CLI chunk loop — share one compiled executable."""
     x = batch.x
     x0 = jnp.zeros_like(x) if baseline is None else baseline
-
-    def f(xi):
-        b = Batch(x=xi, y=batch.y, age=batch.age,
-                  sample_mask=batch.sample_mask, raw_data=batch.raw_data)
-        pred, _ = model.apply(params, b, ctx, False)
-        return pred[:, target_col].sum()
-
-    grad_f = jax.grad(f)
-    alphas = jnp.asarray((np.arange(steps) + 0.5) / steps,
-                         dtype=x.dtype)  # midpoint rule
-
-    @jax.jit
-    def ig(x, x0):
-        def body(tot, a):
-            return tot + grad_f(x0 + a * (x - x0)), None
-
-        total, _ = jax.lax.scan(body, jnp.zeros_like(x), alphas)
-        return (x - x0) * total / steps
-
-    return ig(x, x0)
+    return _ig_fn(model, steps, target_col)(params, ctx, batch, x, x0)
 
 
 def pathway_attributions(
@@ -155,6 +175,11 @@ def main(argv=None):
     # chunks (tail padded, padded rows discarded)
     from multilevel_gnn_tpu.utils.survival import pathway_km_screen
 
+    if not len(idx):
+        raise SystemExit(
+            f"split {args.split!r} is empty for run {args.run} fold "
+            f"{args.fold} — nothing to explain"
+        )
     bs = cfg.batch_size
     scores = []
     for lo in range(0, len(idx), bs):

@@ -172,7 +172,11 @@ def main(argv=None):
 
     st = load_fold_state(cfg, cohort, args.ckpt_dir, args.run, args.fold,
                          step=args.step)
-    idx = st["splits"]["test"][:B]
+    idx = np.asarray(st["splits"]["test"][:B])
+    if len(idx) == 0:
+        # empty test split (tiny cohorts/folds): self-check on the first B
+        # cohort rows instead of failing after the artifact was written
+        idx = np.arange(min(B, len(cohort.patients)))
     idx = np.concatenate([idx, np.repeat(idx[-1:], B - len(idx))])
     X = np.asarray(st["X"])
     probs = np.asarray(infer(X[idx], np.asarray(cohort.ages)[idx]))

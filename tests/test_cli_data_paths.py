@@ -95,6 +95,14 @@ def test_explicit_absolute_path_wins_verbatim(tmp_path):
     assert paths["mrna_path"] == "/abs/kirc.csv"
 
 
+def test_literal_braces_pass_verbatim(tmp_path):
+    """A path with literal braces (e.g. the candidates table's '{ct}'
+    style) must not raise an opaque format error (advisor r4)."""
+    cfg = Config(raw_mrna_path="/abs/{ct}/mrna.csv", cancer_type="kirc")
+    paths = _resolve_data_paths(cfg, str(tmp_path))
+    assert paths["mrna_path"] == "/abs/{ct}/mrna.csv"
+
+
 def test_conventional_names_still_win(tmp_path):
     """Our conventional layout keeps priority over reference names."""
     root = str(tmp_path)

@@ -45,6 +45,34 @@ def test_integrated_gradients_completeness():
     assert len(rows) >= 1 and "p" in rows[0]
 
 
+def test_ig_executable_reused_across_calls():
+    """The jitted IG wrapper is memoized per (model, steps, target): a
+    second call — the CLI chunk loop — must not re-trace (advisor r4)."""
+    from multilevel_gnn_tpu.train import explain as ex
+
+    cfg = gbm_like_cfg()
+    cohort = make_synthetic_cohort(cfg, seed=1, n_patients=16, n_pathways=4)
+    cfg = cfg.replace(pathway_num=cohort.n_pathways, node_num=cohort.num_nodes // 3)
+    fold = cohort.fold(np.arange(10), 0)
+    B = 2
+    m = MultilevelGNN(cfg)
+    b = Batch(
+        x=jnp.asarray(cohort.X[:B]), y=jnp.asarray(cohort.Y[:B]),
+        age=jnp.asarray(cohort.ages[:B]), sample_mask=jnp.ones(B, bool),
+    )
+    params = m.init(jax.random.PRNGKey(0), b, fold.ctx, False)
+    integrated_gradients(m, params, b, fold.ctx, steps=4)
+    fn = ex._ig_fn(m, 4, 0)
+    misses0 = fn._cache_size()
+    b2 = Batch(
+        x=jnp.asarray(cohort.X[B:2 * B]), y=jnp.asarray(cohort.Y[B:2 * B]),
+        age=jnp.asarray(cohort.ages[B:2 * B]), sample_mask=jnp.ones(B, bool),
+    )
+    integrated_gradients(m, params, b2, fold.ctx, steps=4)
+    assert ex._ig_fn(m, 4, 0) is fn, "wrapper must be memoized"
+    assert fn._cache_size() == misses0, "second same-shape call re-traced"
+
+
 def test_explain_cli_roundtrip(tmp_path):
     """mgtpu-train -> checkpoint -> mgtpu-explain end to end: the IG + KM
     screen runs off the driver's checkpoint via the shared fold plumbing
