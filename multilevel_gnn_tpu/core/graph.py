@@ -180,13 +180,13 @@ class Graph:
         mask = np.asarray(self.edge_mask)
         # te (edge-chunk tile) trades grid steps against VMEM per block:
         # smaller chunks let the 2D kernel take full-width (contiguous-DMA)
-        # feature blocks at wide B*C.  Env-tunable for benching.  Measured
-        # (tools/retune_flat.py, v5e backend cl/831091709, 2026-08-20):
-        # the shipped bf16-message path and the full cohort step are
-        # te-insensitive (7.0-7.1e8 edges/s, 31.5 ms either way); pure-f32
-        # message mode runs +14% faster at te=128 (3.19e8 vs 2.79e8) on
-        # this backend build — set MGTPU_TE=128 if shipping f32 messages.
-        te = int(os.environ.get("MGTPU_TE", "256"))
+        # feature blocks at wide B*C.  Picked per backend BUILD from the
+        # measured tuning table (ops/pallas/tuning.py — e.g. te=128
+        # recovers the f32 kernel +14% on cl/831091709); MGTPU_TE env
+        # override wins, unknown backends/CPU get the default 256.
+        from multilevel_gnn_tpu.ops.pallas.tuning import tuned_te
+
+        te = tuned_te()
         csr = SortedSegments.build(recv, self.n_nodes, te=te, mask=mask)
         csc = SortedSegments.build(send, self.n_nodes, te=te, mask=mask)
         deg = np.bincount(recv[mask], minlength=self.n_nodes).astype(np.float32)

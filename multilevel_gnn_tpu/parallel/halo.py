@@ -404,11 +404,10 @@ def build_halo_partition(
 
     segs = {}
     if pallas:
-        import os as _os
-
         from multilevel_gnn_tpu.ops.pallas.segment_sum import SortedSegments
+        from multilevel_gnn_tpu.ops.pallas.tuning import tuned_te
 
-        te = int(_os.environ.get("MGTPU_TE", "256"))
+        te = tuned_te()
 
         def per_shard(ids_fn, mask_fn, num_segments):
             return _stack_segments([

@@ -81,11 +81,17 @@ def load_fold_state(
         like_params, like_opt = fns.init_state(
             jax.random.PRNGKey(0), init_batch, ctx, steps_per_epoch
         )
-        tag_dir = os.path.join(ckpt_dir, f"run{run_i}_fold{fold_i}")
-        tree, _ = C.load_checkpoint(
-            tag_dir, {"params": like_params, "opt_state": like_opt}, step=step
-        )
-        params = tree["params"]
+        if ckpt_dir is None:
+            # explicit no-checkpoint mode (bench export_eval arm / shape
+            # probes): deterministic PRNGKey(0)-initialized params
+            params = like_params
+        else:
+            tag_dir = os.path.join(ckpt_dir, f"run{run_i}_fold{fold_i}")
+            tree, _ = C.load_checkpoint(
+                tag_dir, {"params": like_params, "opt_state": like_opt},
+                step=step,
+            )
+            params = tree["params"]
 
     return {
         "cfg": cfg, "fold": fold, "ctx": ctx, "X": X, "raw": raw,

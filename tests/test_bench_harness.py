@@ -110,7 +110,7 @@ def test_anchor_tripwire_directions(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "_ANCHORS_PATH", str(p))
 
     # 20% slower step + 20% lower throughput -> both flagged
-    deltas, regs = bench._anchor_report({
+    deltas, regs, _w = bench._anchor_report({
         "train_step_cohort_shipped_ms": 36.0,
         "spmm_pallas_f32_edges_per_s": 2.4e8,
     })
@@ -119,7 +119,7 @@ def test_anchor_tripwire_directions(tmp_path, monkeypatch):
     assert len(regs) == 2
 
     # improvements -> positive deltas, no regressions
-    deltas, regs = bench._anchor_report({
+    deltas, regs, _w = bench._anchor_report({
         "train_step_cohort_shipped_ms": 27.0,
         "spmm_pallas_f32_edges_per_s": 3.6e8,
     })
@@ -127,19 +127,66 @@ def test_anchor_tripwire_directions(tmp_path, monkeypatch):
     assert regs == []
 
     # within tolerance -> not flagged
-    deltas, regs = bench._anchor_report(
+    deltas, regs, _w = bench._anchor_report(
         {"train_step_cohort_shipped_ms": 32.0}
     )
     assert regs == []
 
 
+def test_known_external_goes_to_watch_not_regressions(tmp_path, monkeypatch):
+    """A documented backend-drift anchor (known_external: true) must not
+    cry wolf in the regressions list (VERDICT r4 Next #1c)."""
+    anchors = {
+        "tolerance_pct": 10,
+        "anchors": {
+            "spmm_pallas_f32_edges_per_s": {
+                "value": 3.0e8, "better": "higher", "known_external": True,
+            },
+            "cv_s": {"value": 10.0, "better": "lower"},
+        },
+    }
+    p = tmp_path / "ANCHORS.json"
+    p.write_text(json.dumps(anchors))
+    monkeypatch.setattr(bench, "_ANCHORS_PATH", str(p))
+    deltas, regs, watch = bench._anchor_report({
+        "spmm_pallas_f32_edges_per_s": 2.0e8,  # -33%, external
+        "cv_s": 20.0,  # -100%, ours
+    })
+    assert len(regs) == 1 and "cv_s" in regs[0]
+    assert len(watch) == 1 and "known_external" in watch[0]
+
+
+def test_codegen_report_same_changed_new(tmp_path, monkeypatch):
+    """Codegen-hash drift vs the committed baseline is reported
+    mechanically (VERDICT r4 Next #5)."""
+    p = tmp_path / "ANCHORS.json"
+    p.write_text(json.dumps({
+        "anchors": {},
+        "codegen": {
+            "spmm_pallas_f32": {"hlo_hash": "aaaa", "compiled_hash": "bbbb"},
+            "spmm_pallas_bf16": {"hlo_hash": "cccc"},
+        },
+    }))
+    monkeypatch.setattr(bench, "_ANCHORS_PATH", str(p))
+    rep = bench._codegen_report({
+        "spmm_pallas_f32_codegen": {"hlo_hash": "aaaa", "compiled_hash": "xxxx"},
+        "spmm_pallas_bf16_codegen": {
+            "hlo_hash": "cccc", "compiled_hash": "unavailable: X",
+        },
+    })
+    assert rep["spmm_pallas_f32"] == {
+        "hlo_hash": "same", "compiled_hash": "changed",
+    }
+    assert rep["spmm_pallas_bf16"] == {"hlo_hash": "same"}
+
+
 def test_anchor_report_missing_file(monkeypatch):
     monkeypatch.setattr(bench, "_ANCHORS_PATH", "/nonexistent/ANCHORS.json")
-    assert bench._anchor_report({"cv_s": 1.0}) == ({}, [])
+    assert bench._anchor_report({"cv_s": 1.0}) == ({}, [], [])
 
 
 def test_repo_anchors_file_parses():
-    deltas, regs = bench._anchor_report({"train_step_cohort_shipped_ms": 31.6})
+    deltas, regs, _w = bench._anchor_report({"train_step_cohort_shipped_ms": 31.6})
     assert "train_step_cohort_shipped_ms" in deltas
 
 

@@ -53,6 +53,49 @@ def test_export_roundtrip_matches_live_model(tmp_path):
     )
 
 
+def test_export_windowed_bf16_trunk_roundtrip(tmp_path):
+    """The SHIPPED config stack — pallas kernels (interpret on CPU) +
+    windowed SpMM + bf16 messages + bf16 compute trunk — exports and
+    rehydrates prediction-equal to the live model (VERDICT r4 Next #6;
+    the v5e Mosaic-custom-call variant is the bench export_eval arm)."""
+    import jax.numpy as jnp
+
+    from multilevel_gnn_tpu.core.batch import Batch
+    from multilevel_gnn_tpu.ops import spmm
+
+    cfg = _tiny_cfg().replace(
+        kernel_backend="pallas", windowed_spmm=True, windowed_min_edges=1,
+        compute_dtype="bfloat16", spmm_bf16=True,
+    )
+    cohort = make_synthetic_cohort(cfg, seed=3, n_patients=50, n_pathways=5)
+    spmm.set_backend("pallas")
+    spmm.set_spmm_dtype(jnp.bfloat16)
+    try:
+        st = load_fold_state(cfg, cohort, None)  # PRNGKey(0) params
+        # the fold graph must actually carry a windowed plan (else this
+        # test silently degrades to the composed path)
+        assert st["ctx"].graph.winplan is not None
+        ex = export_fold(cfg, cohort, None, params=st["params"])
+        out = str(tmp_path / "export")
+        save_exported(out, ex)
+        infer = load_exported(out)
+
+        B = cfg.batch_size
+        X = np.asarray(st["X"])
+        idx = np.arange(B)
+        b = Batch(
+            x=jnp.asarray(X[idx]), y=jnp.zeros((B, 2), jnp.float32),
+            age=jnp.asarray(np.asarray(cohort.ages)[idx]),
+            sample_mask=jnp.ones(B, bool),
+        )
+        live = np.asarray(st["model"].apply(st["params"], b, st["ctx"], False)[0])
+        got = np.asarray(infer(X[idx], np.asarray(cohort.ages)[idx]))
+        np.testing.assert_array_equal(got, live)
+    finally:
+        spmm.set_backend("xla")
+        spmm.set_spmm_dtype(None)
+
+
 def test_export_cli(tmp_path):
     import multilevel_gnn_tpu.train.cli as cli
     import multilevel_gnn_tpu.train.export as export
