@@ -93,4 +93,13 @@ def test_multichip_step_matches_single_device(setup):
 
 
 def test_dryrun_multichip_entrypoint():
-    graft.dryrun_multichip(8)
+    # multiprocess=False: the loopback jax.distributed leg is covered by
+    # test_multiprocess.py (slow tier) and by the driver's dryrun artifact
+    graft.dryrun_multichip(8, multiprocess=False)
+
+
+@pytest.mark.slow
+def test_dryrun_multiprocess_entrypoint():
+    """The driver's multi-host certification leg (VERDICT r4 Next #7):
+    2-process loopback group + checkpoint restart, end to end."""
+    graft.dryrun_multiprocess()

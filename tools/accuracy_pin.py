@@ -160,6 +160,137 @@ def run_pin(protocol: str, seed: int, epochs, num_run: int, small: bool,
     }
 
 
+REGISTERED_RULE = (
+    "PASS iff (a) every shipped seed's by-loss FINAL delta <= 0.001, and "
+    "(b) max-over-seeds shipped transient max-delta <= max(0.005, control "
+    "envelope), where the control envelope = max-over-seeds transient "
+    "max-delta of the f32-Pallas-vs-f32-XLA control (reduction-order-only "
+    "perturbation) on the SAME seeds"
+)
+
+
+def run_pin_registered(protocol: str, seeds, epochs, num_run: int,
+                       small: bool):
+    """Pre-registered machine-checked pin (VERDICT r4 Next #3).
+
+    The r4 LGG reading ("judge by by-loss finals and against the control")
+    was a post-hoc paragraph; this encodes it as ONE pass rule, decided
+    before the r5 measurement and evaluated identically for all three
+    protocols:
+
+        %s
+
+    Rationale: by-loss finals are the stable drift indicator (selection
+    flips do not move them; accumulated numeric drift does), and the
+    control arm measures what the protocol's discrete best-valid
+    checkpoint selection does to an infinitesimal (order-only)
+    perturbation — transients beyond 0.005 are only acceptable inside
+    that measured envelope.  Three experiments per seed (shipped, f32
+    Pallas control, f32 XLA baseline); both arms' deltas are computed
+    against the SAME f32 XLA run.
+    """ % REGISTERED_RULE
+    from multilevel_gnn_tpu.core.config import Config
+    from multilevel_gnn_tpu.data.synthetic import make_synthetic_cohort
+    from multilevel_gnn_tpu.train.driver import run_experiment
+    from multilevel_gnn_tpu.utils.runtime import configure_backend
+
+    yaml_path = os.path.join(
+        os.path.dirname(__file__), "..", "configs", f"{protocol}.yaml"
+    )
+    kw = {"num_run": num_run}
+    if epochs is not None:
+        kw["epochs"] = epochs
+    base = Config.from_yaml(yaml_path, **kw)
+    cohort_kw = (
+        dict(n_patients=60, n_pathways=6)
+        if small
+        else dict(
+            n_patients=400, n_pathways=146, genes_per_pathway=38,
+            overlap=3, n_edges=60000,
+        )
+    )
+    arms = {
+        "shipped": {},  # the YAML verbatim
+        "f32_pallas": dict(kernel_backend="pallas", spmm_bf16=False,
+                           windowed_spmm=False, compute_dtype=None),
+        "f32_xla": dict(kernel_backend="xla", spmm_bf16=False,
+                        windowed_spmm=False, compute_dtype=None),
+    }
+    per_seed = []
+    for seed in seeds:
+        t0 = time.time()
+        results = {}
+        for name, overrides in arms.items():
+            cfg = base.replace(**overrides)
+            configure_backend(cfg)
+            cohort = make_synthetic_cohort(cfg, seed=seed, **cohort_kw)
+            res = run_experiment(cfg, cohort)
+            results[name] = res
+            print(
+                f"[{protocol} seed={seed}] {name}: wall "
+                f"{res['wall_time_s']:.0f}s  "
+                + "  ".join(
+                    f"auc@{e}={res['auc'][e]:.4f}"
+                    for e in res["check_epochs"]
+                ),
+                file=sys.stderr,
+            )
+        ce = results["shipped"]["check_epochs"]
+
+        def delta_stats(arm):
+            d = {e: results[arm]["auc"][e] - results["f32_xla"]["auc"][e]
+                 for e in ce}
+            return {
+                "max_abs": max(abs(v) for v in d.values()),
+                "final": abs(d[ce[-1]]),
+                "by_loss_final": abs(
+                    results[arm]["auc_by_loss"][ce[-1]]
+                    - results["f32_xla"]["auc_by_loss"][ce[-1]]
+                ),
+            }
+
+        row = {
+            "protocol": protocol,
+            "seed": seed,
+            "shipped": delta_stats("shipped"),
+            "control": delta_stats("f32_pallas"),
+            "auc_shipped_final": results["shipped"]["auc"][ce[-1]],
+            "auc_f32_xla_final": results["f32_xla"]["auc"][ce[-1]],
+            "seed_wall_s": round(time.time() - t0, 1),
+        }
+        print(json.dumps({"registered_pin_seed": row}))
+        per_seed.append(row)
+
+    envelope = max(r["control"]["max_abs"] for r in per_seed)
+    shipped_max = max(r["shipped"]["max_abs"] for r in per_seed)
+    by_loss_ok = all(r["shipped"]["by_loss_final"] <= 0.001
+                     for r in per_seed)
+    transient_ok = shipped_max <= max(0.005, envelope)
+    return {
+        "metric": "registered_accuracy_pin",
+        "protocol": protocol,
+        "rule": REGISTERED_RULE,
+        "pass": bool(by_loss_ok and transient_ok),
+        "by_loss_finals_ok": bool(by_loss_ok),
+        "transients_ok": bool(transient_ok),
+        "shipped_max_delta": shipped_max,
+        "control_envelope": envelope,
+        "by_loss_final_per_seed": {
+            str(r["seed"]): r["shipped"]["by_loss_final"] for r in per_seed
+        },
+        "shipped_max_per_seed": {
+            str(r["seed"]): r["shipped"]["max_abs"] for r in per_seed
+        },
+        "control_max_per_seed": {
+            str(r["seed"]): r["control"]["max_abs"] for r in per_seed
+        },
+        "seeds": list(seeds),
+        "epochs": base.epochs,
+        "num_run": num_run,
+        "per_seed": per_seed,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--protocol", default="gbm",
@@ -177,6 +308,10 @@ def main():
                     help="noise-floor control: f32 Pallas vs f32 XLA "
                          "(reduction-order-only perturbation) — bounds "
                          "the selection-flip class of transients")
+    ap.add_argument("--registered", action="store_true",
+                    help="pre-registered machine-checked pin: 3 arms per "
+                         "seed, ONE PASS/FAIL line per protocol under "
+                         "REGISTERED_RULE (VERDICT r4 Next #3)")
     args = ap.parse_args()
 
     from multilevel_gnn_tpu.utils.runtime import enable_compilation_cache
@@ -185,6 +320,15 @@ def main():
     import jax
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    if args.registered:
+        t0 = time.time()
+        verdict = run_pin_registered(
+            args.protocol, args.seeds, args.epochs, args.num_run, args.small
+        )
+        verdict["wall_s"] = round(time.time() - t0, 1)
+        print(json.dumps(verdict))
+        return
 
     rows = []
     for seed in args.seeds:
