@@ -444,8 +444,13 @@ def _sorted_segment_sum_2d(
     return out[: seg.num_segments, :C]
 
 
-def _make_flat_kernel():
-    def kernel(owner_ref, ids_ref, data_ref, out_ref):
+def _make_flat_kernel(weighted: bool = False):
+    def kernel(owner_ref, ids_ref, *rest):
+        if weighted:
+            w_ref, data_ref, out_ref = rest
+        else:
+            data_ref, out_ref = rest
+            w_ref = None
         c = pl.program_id(1)
         tn = out_ref.shape[0]
         sub, lane = ids_ref.shape[1], ids_ref.shape[2]
@@ -461,7 +466,18 @@ def _make_flat_kernel():
         rows = (
             jax.lax.broadcasted_iota(jnp.int32, (tn, sub, lane), 0) + own * tn
         )
-        onehot = (ids[None] == rows).astype(jnp.float32).reshape(tn, te)
+        oh3 = (ids[None] == rows).astype(jnp.float32)
+        if weighted:
+            # fold the per-edge weight into the one-hot: the weighted sum
+            # rides the SAME matmul, deleting the separate E-row multiply
+            # pass over the message matrix in HBM (profiled at ~0.5-1 ms
+            # per direction at GBM scale).  bf16-message mode only: the
+            # weighted one-hot is bf16-cast by _dot_product, rounding w to
+            # bf16 exactly like the external multiply did — while the
+            # bf16 x bf16 MXU product accumulates in f32 (no worse, one
+            # fewer rounding than the old rounded-product path).
+            oh3 = oh3 * w_ref[0][None]
+        onehot = oh3.reshape(tn, te)
         _dot_accum(out_ref, onehot, data_ref[:], (((1,), (0,)), ((), ())))
 
     return kernel
@@ -471,16 +487,34 @@ def flat_segment_sum(
     data: jax.Array,
     seg: SortedSegments,
     interpret: Optional[bool] = None,
+    w: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Segment-sum of (E_flat, C) data already in seg's FLAT tile-aligned
     order (compose seg.perm_pad into the producing gather, or use
     flatten_rows).  One streaming pass over the flat chunks: every grid
     step DMAs a fresh contiguous (te, tc) block and accumulates into its
-    owner tile — no skipped steps, no boundary re-reads."""
+    owner tile — no skipped steps, no boundary re-reads.
+
+    w: optional (E_flat,) / (E_flat, 1) per-edge weights in flat order
+    (0 on padding slots).  bf16 data folds them into the kernel's one-hot
+    (no separate multiply pass over the message matrix); f32 data applies
+    them outside so the 3-limb exact path keeps splitting the true f32
+    product (a weighted one-hot is not exactly bf16-representable)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     Ef, C = data.shape
     assert Ef == seg.n_flat_chunks * seg.te, (Ef, seg.n_flat_chunks, seg.te)
+    weighted = False
+    if w is not None:
+        w = w.reshape(-1)
+        assert w.shape[0] == Ef, (w.shape, Ef)
+        if data.dtype == jnp.bfloat16:
+            weighted = True
+            w3d = w.astype(jnp.float32).reshape(
+                seg.n_flat_chunks, seg.te // 128, 128
+            )
+        else:
+            data = data * w[:, None].astype(data.dtype)
     dsize = 2 if data.dtype == jnp.bfloat16 else 4
 
     def vmem(t):
@@ -496,15 +530,22 @@ def flat_segment_sum(
     data = jnp.pad(data, ((0, 0), (0, C_pad - C)))
     N_pad = seg.n_tiles * seg.tn
     grid = (C_pad // tc, seg.n_flat_chunks)
+    ids_spec = pl.BlockSpec((1, seg.te // 128, 128), lambda f, c, ow: (c, 0, 0))
+    in_specs = [ids_spec]
+    operands = [seg.flat_ids3d]
+    if weighted:
+        in_specs.append(
+            pl.BlockSpec((1, seg.te // 128, 128), lambda f, c, ow: (c, 0, 0))
+        )
+        operands.append(w3d)
+    in_specs.append(pl.BlockSpec((seg.te, tc), lambda f, c, ow: (c, f)))
+    operands.append(data)
     out = pl.pallas_call(
-        _make_flat_kernel(),
+        _make_flat_kernel(weighted),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, seg.te // 128, 128), lambda f, c, ow: (c, 0, 0)),
-                pl.BlockSpec((seg.te, tc), lambda f, c, ow: (c, f)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (seg.tn, tc), lambda f, c, ow: (ow[c], f)
             ),
@@ -517,7 +558,7 @@ def flat_segment_sum(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(seg.owner, seg.flat_ids3d, data)
+    )(seg.owner, *operands)
     return out[: seg.num_segments, :C]
 
 

@@ -736,8 +736,8 @@ def windowed_spmm_2d(x2, w, senders, receivers, plan):
         flat_idx = jnp.take(ext, plan.res_csr.perm_pad, axis=0)
         wext = jnp.concatenate([r_w, jnp.zeros((1, 1), r_w.dtype)])
         flat_w = jnp.take(wext, plan.res_csr.perm_pad, axis=0)
-        msg = jnp.take(x2, flat_idx, axis=0) * flat_w
-        out = out + flat_segment_sum(msg, plan.res_csr)
+        msg = jnp.take(x2, flat_idx, axis=0)
+        out = out + flat_segment_sum(msg, plan.res_csr, w=flat_w)
     return out
 
 
@@ -770,8 +770,8 @@ def _wspmm_bwd(res, g):
         flat_idx = jnp.take(ext, plan.tres_csc.perm_pad, axis=0)
         wext = jnp.concatenate([t_w, jnp.zeros((1, 1), t_w.dtype)])
         flat_w = jnp.take(wext, plan.tres_csc.perm_pad, axis=0)
-        msg = jnp.take(gp, flat_idx, axis=0) * flat_w
-        dxp = dxp + flat_segment_sum(msg, plan.tres_csc)
+        msg = jnp.take(gp, flat_idx, axis=0)
+        dxp = dxp + flat_segment_sum(msg, plan.tres_csc, w=flat_w)
     dx = (
         permute_rows(dxp, plan.perm, plan.inv_perm)
         if plan.perm is not None
@@ -784,8 +784,8 @@ def _wspmm_bwd(res, g):
         flat_idx = jnp.take(ext, plan.res_csc.perm_pad, axis=0)
         wext = jnp.concatenate([r_w, jnp.zeros((1, 1), r_w.dtype)])
         flat_w = jnp.take(wext, plan.res_csc.perm_pad, axis=0)
-        msg = jnp.take(gd, flat_idx, axis=0) * flat_w
-        dx = dx + flat_segment_sum(msg, plan.res_csc)
+        msg = jnp.take(gd, flat_idx, axis=0)
+        dx = dx + flat_segment_sum(msg, plan.res_csc, w=flat_w)
     if dx.dtype != proto.dtype:
         dx = dx.astype(proto.dtype)  # cotangent in the primal x2 dtype
 

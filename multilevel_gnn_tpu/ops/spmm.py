@@ -149,9 +149,11 @@ def _fused_spmm_sum(x, w, senders, receivers, csr, csc):
         w = w.astype(_DTYPE)
     # compose the flat tile-aligned layout into the gather: padding slots
     # read row 0 with weight 0, so the flat kernel streams one contiguous
-    # chunk per grid step with zero re-reads
-    msg = jnp.take(x2, _flat_index(senders, csr), axis=0) * _flat_w(w, csr)
-    out2 = flat_segment_sum(msg, csr)
+    # chunk per grid step with zero re-reads.  The weight multiply rides
+    # the kernel (bf16: folded into the one-hot; f32: exact pre-multiply
+    # inside flat_segment_sum) — no separate E-row HBM pass.
+    msg = jnp.take(x2, _flat_index(senders, csr), axis=0)
+    out2 = flat_segment_sum(msg, csr, w=_flat_w(w, csr))
     return _from_2d(out2, bc)
 
 
@@ -171,8 +173,8 @@ def _fused_bwd(res, d_out):
     if _DTYPE is not None:
         g2 = g2.astype(_DTYPE)
         w = w.astype(_DTYPE)
-    g = jnp.take(g2, _flat_index(receivers, csc), axis=0) * _flat_w(w, csc)
-    d_x2 = flat_segment_sum(g, csc)
+    g = jnp.take(g2, _flat_index(receivers, csc), axis=0)
+    d_x2 = flat_segment_sum(g, csc, w=_flat_w(w, csc))
     d_x = _from_2d(d_x2, bc)
     if d_x.dtype != proto.dtype:
         d_x = d_x.astype(proto.dtype)

@@ -1,6 +1,7 @@
 """Aux subsystems: checkpoint/resume, KM survival + log-rank, KSG MI,
 profiling hooks (SURVEY.md §5)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -239,6 +240,7 @@ def test_psnr_and_average_meter_match_reference():
     assert (m.val, m.sum, m.count, m.avg) == (4.0, 14.0, 4, 3.5)
 
 
+@pytest.mark.slow  # quick tier (VERDICT r4 Next #8): heavy CPU-mesh equivalence; covered by faster smokes in the quick tier
 def test_warm_experiment_all_paths(tmp_path, monkeypatch):
     """mgtpu-warm (train/warm.py): AOT-compiles the experiment's
     executables without executing a step, for each driver path (fold scan

@@ -7,6 +7,7 @@ to be negligible: full 5-fold CV on a synthetic cohort, pooled AUC delta
 < 0.005 vs the f32 pallas run.
 """
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from multilevel_gnn_tpu.data.synthetic import make_synthetic_cohort
@@ -14,6 +15,8 @@ from multilevel_gnn_tpu.ops import spmm
 from multilevel_gnn_tpu.train.driver import run_experiment
 
 from test_data_pipeline import gbm_like_cfg
+
+pytestmark = pytest.mark.slow  # quick tier (VERDICT r4 Next #8): heavy CPU-mesh equivalence; covered by faster smokes in the quick tier
 
 
 def _cv_auc(cfg, cohort):

@@ -77,6 +77,7 @@ def test_deepergcn_msa_readout(setup):
     assert bool(jnp.isfinite(pred).all())
 
 
+@pytest.mark.slow  # quick tier (VERDICT r4 Next #8): heavy CPU-mesh equivalence; covered by faster smokes in the quick tier
 def test_deepergcn_grad(setup):
     cfg, cohort, fold, batch = setup
     m = DeeperGCN(cfg)

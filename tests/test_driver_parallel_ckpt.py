@@ -14,6 +14,8 @@ from multilevel_gnn_tpu.train.driver import run_experiment
 from test_data_pipeline import gbm_like_cfg
 from multilevel_gnn_tpu.data.synthetic import make_synthetic_cohort
 
+pytestmark = pytest.mark.slow  # quick tier (VERDICT r4 Next #8): heavy CPU-mesh equivalence; covered by faster smokes in the quick tier
+
 
 def _tiny_cfg(**kw):
     base = dict(

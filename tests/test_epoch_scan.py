@@ -42,6 +42,7 @@ def _assert_equal(a, b, tol=0.0):
                 assert a[key][e] == b[key][e], (key, e, a[key][e], b[key][e])
 
 
+@pytest.mark.slow  # quick tier (VERDICT r4 Next #8): heavy CPU-mesh equivalence; covered by faster smokes in the quick tier
 def test_epoch_scan_matches_per_step():
     # with the defaults this exercises the WHOLE-FOLD device loop
     # (cfg.fold_scan) against the per-step dispatch path
@@ -51,6 +52,7 @@ def test_epoch_scan_matches_per_step():
     _assert_equal(scan, loop, tol=1e-6)
 
 
+@pytest.mark.slow  # quick tier (VERDICT r4 Next #8): heavy CPU-mesh equivalence; covered by faster smokes in the quick tier
 def test_fold_scan_matches_epoch_scan():
     """The one-dispatch-per-fold loop (cfg.fold_scan) == the per-epoch
     scan path: same epoch_plan stream, same fold_in(rng, step) keys, same
@@ -70,6 +72,7 @@ def test_fold_scan_matches_epoch_scan():
     _assert_equal(outs[0], outs[1], tol=1e-6)
 
 
+@pytest.mark.slow  # quick tier (VERDICT r4 Next #8): heavy CPU-mesh equivalence; covered by faster smokes in the quick tier
 def test_epoch_scan_matches_with_aug_and_sampler():
     """Covers the plan's mult array (random-variation aug) and the
     WeightedRandomSampler path — both consume the shared host RNG stream."""

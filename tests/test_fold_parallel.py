@@ -6,6 +6,7 @@ per-unit jax RNG, same best-by-valid selection — pooled metrics must match
 the sequential run_experiment.
 """
 import numpy as np
+import pytest
 
 from multilevel_gnn_tpu.data.synthetic import make_synthetic_cohort
 from multilevel_gnn_tpu.train.driver import run_experiment
@@ -92,6 +93,7 @@ def test_foldparallel_zero_train_batches():
     _check(seq, par)
 
 
+@pytest.mark.slow  # quick tier (VERDICT r4 Next #8): heavy CPU-mesh equivalence; covered by faster smokes in the quick tier
 def test_foldparallel_checkpoint_resume_and_predict(tmp_path):
     """Checkpointed fold-parallel run resumed after an interruption ==
     the uninterrupted run; its per-unit checkpoints are readable by the

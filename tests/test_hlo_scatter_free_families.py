@@ -23,6 +23,8 @@ from multilevel_gnn_tpu.train.driver import _shared_fns, iter_batches
 
 from test_data_pipeline import gbm_like_cfg
 
+pytestmark = pytest.mark.slow  # quick tier: per-family lowering proofs; the flagship scatter-free check stays quick (test_hlo_scatter_free.py)
+
 
 @pytest.fixture
 def pallas():

@@ -24,6 +24,8 @@ from multilevel_gnn_tpu.train.step import make_loss_fn
 
 from test_data_pipeline import gbm_like_cfg
 
+pytestmark = pytest.mark.slow  # quick tier (VERDICT r4 Next #8): heavy CPU-mesh equivalence; covered by faster smokes in the quick tier
+
 
 @pytest.mark.parametrize("backend,windowed", [
     ("xla", False),

@@ -1,6 +1,7 @@
 """PathCNN / DiffPool / AE / VAE / VQ-VAE model-family tests (SURVEY.md §4.3)
 + pretrain -> fine-tune transfer."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import torch
@@ -154,6 +155,7 @@ def test_autoencoder_foreach_decoder():
     assert recon.shape == (4, cohort.num_pca_rows)
 
 
+@pytest.mark.slow  # quick tier (VERDICT r4 Next #8): heavy CPU-mesh equivalence; covered by faster smokes in the quick tier
 def test_vae_forward_and_loss():
     cfg, cohort = make_cohort(model="vae", decoder_type="foreach")
     cfg = cfg.replace(decoder_dim=32)
@@ -185,6 +187,7 @@ def test_vae_forward_and_loss():
     np.testing.assert_allclose(np.asarray(pred.sum(-1)), np.ones(4), rtol=1e-5)
 
 
+@pytest.mark.slow  # quick tier (VERDICT r4 Next #8): heavy CPU-mesh equivalence; covered by faster smokes in the quick tier
 def test_vqvae_straight_through():
     cfg, cohort = make_cohort(model="vq_vae", decoder_type="foreach")
     cfg = cfg.replace(decoder_dim=32, vqvae_num_embeddings=16)

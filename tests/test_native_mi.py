@@ -78,6 +78,7 @@ def test_mi_regression_matches_sklearn(rng, n, g, k, seed):
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.slow  # quick tier (VERDICT r4 Next #8): heavy CPU-mesh equivalence; covered by faster smokes in the quick tier
 def test_mi_classif_tiny_class_brute_regime(rng):
     """Tiny cohorts put every class in sklearn's BRUTE kneighbors regime
     (auto picks brute when k >= n_fit // 2), whose GEMM-expansion euclidean

@@ -92,6 +92,7 @@ def test_multichip_step_matches_single_device(setup):
         )
 
 
+@pytest.mark.slow  # quick tier (VERDICT r4 Next #8): heavy CPU-mesh equivalence; covered by faster smokes in the quick tier
 def test_dryrun_multichip_entrypoint():
     # multiprocess=False: the loopback jax.distributed leg is covered by
     # test_multiprocess.py (slow tier) and by the driver's dryrun artifact

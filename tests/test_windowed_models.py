@@ -6,6 +6,7 @@ synthetic cohort fold — i.e. the path that cfg.windowed_spmm=True ships
 is covered end to end in interpret mode.
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -18,6 +19,7 @@ from multilevel_gnn_tpu.train.step import make_loss_fn
 from test_data_pipeline import gbm_like_cfg
 
 
+@pytest.mark.slow  # quick tier (VERDICT r4 Next #8): heavy CPU-mesh equivalence; covered by faster smokes in the quick tier
 def test_windowed_flagship_matches_xla_backend():
     cfg = gbm_like_cfg(
         batch_size=4, windowed_spmm=True, kernel_backend="pallas", windowed_min_edges=0
