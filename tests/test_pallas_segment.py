@@ -93,3 +93,46 @@ def test_flat_matches_tile_major_on_skew(rng):
     a = flat_segment_sum(flatten_rows(jnp.asarray(data), seg), seg, interpret=True)
     b = sorted_segment_sum(jnp.asarray(data)[None], seg, interpret=True)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4)
+
+
+def test_flat_weighted_kernel_both_dtypes(rng):
+    """flat_segment_sum(w=): the r5 weighted kernel — bf16 folds the
+    per-edge weight into the one-hot (in-kernel), f32 pre-multiplies
+    exactly; both must match the weighted XLA oracle."""
+    from multilevel_gnn_tpu.ops.pallas.segment_sum import (
+        SortedSegments,
+        flat_segment_sum,
+        flatten_rows,
+    )
+
+    E, N, C = 900, 220, 64
+    ids = rng.randint(0, N, size=E)
+    mask = rng.rand(E) > 0.1
+    data = rng.randn(E, C).astype(np.float32)
+    w = rng.rand(E).astype(np.float32)
+    seg = SortedSegments.build(ids, N, te=128, mask=mask)
+    wf = jnp.take(
+        jnp.concatenate([jnp.asarray(w), jnp.zeros(1)]), seg.perm_pad
+    )
+    want = jax.ops.segment_sum(
+        jnp.asarray(data * w[:, None] * mask[:, None]), jnp.asarray(ids), N
+    )
+
+    got_f32 = flat_segment_sum(
+        flatten_rows(jnp.asarray(data), seg), seg, interpret=True, w=wf
+    )
+    np.testing.assert_allclose(np.asarray(got_f32), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    d16 = jnp.asarray(data, jnp.bfloat16)
+    got_bf16 = flat_segment_sum(
+        flatten_rows(d16, seg), seg, interpret=True, w=wf
+    )
+    want16 = jax.ops.segment_sum(
+        (d16 * jnp.asarray(w, jnp.bfloat16)[:, None]).astype(jnp.float32)
+        * jnp.asarray(mask)[:, None],
+        jnp.asarray(ids), N,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_bf16), np.asarray(want16), rtol=2e-2, atol=2e-2
+    )
