@@ -41,6 +41,17 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def take_ib(a: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather a[idx] with mode='promise_in_bounds', for indices that
+    are in-bounds BY CONSTRUCTION (flat layouts append a zero row / use
+    row-0 or n-1 sentinels; permutations; pre-resolved gather_rows
+    indices).  jnp.take's default 'fill' mode emits a broadcast_select
+    pass over the FULL gathered output to mask out-of-bounds rows —
+    profiled at ~3 ms/step of pure HBM traffic across the shipped step's
+    gathers (PROFILE_r05.json select_n fusions)."""
+    return a.at[idx].get(mode="promise_in_bounds")
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SortedSegments:
@@ -566,9 +577,9 @@ def flatten_rows(data: jax.Array, seg: SortedSegments) -> jax.Array:
     """(E, C) rows in ORIGINAL index order -> (E_flat, C) flat tile-aligned
     order (padding slots -> zero rows) via one XLA gather."""
     zero = jnp.zeros((1,) + data.shape[1:], data.dtype)
-    return jnp.take(
-        jnp.concatenate([data, zero], axis=0), seg.perm_pad, axis=0
-    )
+    # promise_in_bounds: perm_pad is in [0, E] over the E+1-row extended
+    # array by construction (see take_ib)
+    return take_ib(jnp.concatenate([data, zero], axis=0), seg.perm_pad)
 
 
 def segment_sum_by(

@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from multilevel_gnn_tpu.ops.pallas.segment_sum import (
     SortedSegments,
     flat_segment_sum,
+    take_ib,
 )
 
 
@@ -607,7 +608,7 @@ def windowed_exec(
     # weights to flat chunk slots (padding -> 0)
     wflat = jnp.take(
         jnp.concatenate([w[:, 0], jnp.zeros((1,), w.dtype)]),
-        side.perm_pad, axis=0,
+        side.perm_pad, axis=0, mode="clip",
     ).astype(jnp.float32).reshape(side.n_chunks, te // 128, 128)
     # sentinel chunk
     wflat = jnp.concatenate(
@@ -674,7 +675,8 @@ def windowed_exec(
 
 @jax.custom_vjp
 def permute_rows(x2, perm, inv):
-    return jnp.take(x2, perm, axis=0)
+    # perm is a full permutation: in-bounds by construction
+    return take_ib(x2, perm)
 
 
 def _perm_fwd(x2, perm, inv):
@@ -684,7 +686,7 @@ def _perm_fwd(x2, perm, inv):
 def _perm_bwd(res, g):
     perm, inv = res
     return (
-        jnp.take(g, inv, axis=0),
+        take_ib(g, inv),
         np.zeros(perm.shape, jax.dtypes.float0),
         np.zeros(inv.shape, jax.dtypes.float0),
     )
@@ -702,7 +704,7 @@ def _res_take(arr, idx):
     sentinel id == len(arr) reads an appended zero row (zero weight /
     node 0), so padded entries contribute nothing."""
     ext = jnp.concatenate([arr, jnp.zeros((1,) + arr.shape[1:], arr.dtype)])
-    return jnp.take(ext, idx, axis=0)
+    return take_ib(ext, idx)
 
 
 @jax.custom_vjp
@@ -736,7 +738,7 @@ def windowed_spmm_2d(x2, w, senders, receivers, plan):
         flat_idx = jnp.take(ext, plan.res_csr.perm_pad, axis=0)
         wext = jnp.concatenate([r_w, jnp.zeros((1, 1), r_w.dtype)])
         flat_w = jnp.take(wext, plan.res_csr.perm_pad, axis=0)
-        msg = jnp.take(x2, flat_idx, axis=0)
+        msg = take_ib(x2, flat_idx)
         out = out + flat_segment_sum(msg, plan.res_csr, w=flat_w)
     return out
 
@@ -770,7 +772,7 @@ def _wspmm_bwd(res, g):
         flat_idx = jnp.take(ext, plan.tres_csc.perm_pad, axis=0)
         wext = jnp.concatenate([t_w, jnp.zeros((1, 1), t_w.dtype)])
         flat_w = jnp.take(wext, plan.tres_csc.perm_pad, axis=0)
-        msg = jnp.take(gp, flat_idx, axis=0)
+        msg = take_ib(gp, flat_idx)
         dxp = dxp + flat_segment_sum(msg, plan.tres_csc, w=flat_w)
     dx = (
         permute_rows(dxp, plan.perm, plan.inv_perm)
@@ -784,7 +786,7 @@ def _wspmm_bwd(res, g):
         flat_idx = jnp.take(ext, plan.res_csc.perm_pad, axis=0)
         wext = jnp.concatenate([r_w, jnp.zeros((1, 1), r_w.dtype)])
         flat_w = jnp.take(wext, plan.res_csc.perm_pad, axis=0)
-        msg = jnp.take(gd, flat_idx, axis=0)
+        msg = take_ib(gd, flat_idx)
         dx = dx + flat_segment_sum(msg, plan.res_csc, w=flat_w)
     if dx.dtype != proto.dtype:
         dx = dx.astype(proto.dtype)  # cotangent in the primal x2 dtype

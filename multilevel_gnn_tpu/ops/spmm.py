@@ -33,6 +33,7 @@ from multilevel_gnn_tpu.ops.pallas.segment_sum import (
     flat_segment_sum,
     segment_sum_by,
     sorted_segment_sum,
+    take_ib,
 )
 from multilevel_gnn_tpu.ops.pallas import segment_max as pmax
 
@@ -42,13 +43,13 @@ def _flat_index(idx: jax.Array, seg: SortedSegments) -> jax.Array:
     returns (E_flat,) indices (padding slots -> row 0; pair with _flat_w
     whose padding weight is 0)."""
     ext = jnp.concatenate([idx, jnp.zeros((1,), idx.dtype)])
-    return jnp.take(ext, seg.perm_pad, axis=0)
+    return take_ib(ext, seg.perm_pad)
 
 
 def _flat_w(w: jax.Array, seg: SortedSegments) -> jax.Array:
     """(E, 1) edge weights -> (E_flat, 1) in flat order, 0 on padding."""
     ext = jnp.concatenate([w, jnp.zeros((1,) + w.shape[1:], w.dtype)])
-    return jnp.take(ext, seg.perm_pad, axis=0)
+    return take_ib(ext, seg.perm_pad)
 
 _BACKEND = "xla"
 _DTYPE = None  # None = keep f32; jnp.bfloat16 = cast SpMM data (2x traffic cut)
@@ -152,7 +153,7 @@ def _fused_spmm_sum(x, w, senders, receivers, csr, csc):
     # chunk per grid step with zero re-reads.  The weight multiply rides
     # the kernel (bf16: folded into the one-hot; f32: exact pre-multiply
     # inside flat_segment_sum) — no separate E-row HBM pass.
-    msg = jnp.take(x2, _flat_index(senders, csr), axis=0)
+    msg = take_ib(x2, _flat_index(senders, csr))
     out2 = flat_segment_sum(msg, csr, w=_flat_w(w, csr))
     return _from_2d(out2, bc)
 
@@ -173,7 +174,7 @@ def _fused_bwd(res, d_out):
     if _DTYPE is not None:
         g2 = g2.astype(_DTYPE)
         w = w.astype(_DTYPE)
-    g = jnp.take(g2, _flat_index(receivers, csc), axis=0)
+    g = take_ib(g2, _flat_index(receivers, csc))
     d_x2 = flat_segment_sum(g, csc, w=_flat_w(w, csc))
     d_x = _from_2d(d_x2, bc)
     if d_x.dtype != proto.dtype:
@@ -216,7 +217,7 @@ def _ess_fwd(msg, receivers, mask, csr):
 def _ess_bwd(res, d_out):
     receivers, mask, csr, proto = res
     g2, bc = _to_2d(d_out)
-    d2 = jnp.take(g2, receivers, axis=0) * mask[:, None].astype(g2.dtype)
+    d2 = take_ib(g2, receivers) * mask[:, None].astype(g2.dtype)
     d_msg = _from_2d(d2, bc)
     if d_msg.dtype != proto.dtype:
         d_msg = d_msg.astype(proto.dtype)
@@ -258,8 +259,8 @@ def _esm_bwd(res, d_out):
     m2, bc = _to_2d(msg)
     o2, _ = _to_2d(out)
     g2, _ = _to_2d(d_out)
-    sel = (m2 == jnp.take(o2, receivers, axis=0)) & mask[:, None]
-    d2 = jnp.where(sel, jnp.take(g2, receivers, axis=0), 0.0)
+    sel = (m2 == take_ib(o2, receivers)) & mask[:, None]
+    d2 = jnp.where(sel, take_ib(g2, receivers), 0.0)
     if d2.dtype != m2.dtype:
         d2 = d2.astype(m2.dtype)  # cotangent in the primal msg dtype
     return (
@@ -309,7 +310,7 @@ def gather_rows(x, idx, seg):
     the 2D (N, B*C) layout for contiguous wide-row gathers.
     """
     x2, bc = _to_2d(x)
-    return _from_2d(jnp.take(x2, idx, axis=0), bc)
+    return _from_2d(take_ib(x2, idx), bc)
 
 
 def _gather_rows_fwd(x, idx, seg):
