@@ -36,7 +36,20 @@ import subprocess
 import sys
 import time
 
-import numpy as np
+try:
+    import numpy as np
+except ModuleNotFoundError:  # pragma: no cover - environment guard
+    # The r5s2 container ships a bare `python` on PATH (no numpy/jax);
+    # the working stack lives in /opt/venv (same binary, venv-activated
+    # via its pyvenv.cfg — realpaths match, so guard with an env marker).
+    # Re-exec there so a driver invoking plain `python bench.py` still
+    # produces the round's JSON line (subprocess arms inherit
+    # sys.executable, so they follow).
+    _VENV = "/opt/venv/bin/python"
+    if os.path.exists(_VENV) and not os.environ.get("MGTPU_BENCH_REEXEC"):
+        os.environ["MGTPU_BENCH_REEXEC"] = "1"
+        os.execv(_VENV, [_VENV] + sys.argv)
+    raise
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 _CACHE_PATH = os.path.join(_REPO, "bench_cache.json")
