@@ -423,7 +423,16 @@ def bench_export_eval(seed=0):
     got = json.loads(r.stdout.strip().splitlines()[-1])
     loaded = np.load(io_path + ".preds.npy")
     max_diff = float(np.max(np.abs(loaded - live)))
+    # Bitwise equality holds on CPU (test_export.py roundtrip) but NOT
+    # across two separately-compiled TPU executables: the live jit and
+    # the reloaded StableHLO artifact compile through different
+    # pipelines, and fusion-order differences at the bf16/f32
+    # boundaries move class probabilities by ~1e-5 (measured 4.3e-5,
+    # BENCH r5 pass 1).  The fidelity assertion is therefore a
+    # documented tolerance on probabilities, with the raw max-diff
+    # reported alongside.
     got["export_eval_equal"] = bool(max_diff == 0.0)
+    got["export_eval_match"] = bool(max_diff <= 1e-3)
     got["export_eval_max_abs_diff"] = max_diff
     got["export_artifact_bytes"] = os.path.getsize(
         os.path.join(art_dir, "model.stablehlo")
