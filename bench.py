@@ -168,7 +168,12 @@ def _codegen_report(extras: dict) -> dict:
             status[h] = (
                 "same" if g == want[h]
                 else "unavailable" if not isinstance(g, str) or ":" in g
-                else "changed"
+                # compiled text is CROSS-PROCESS nondeterministic even at
+                # fixed source + fixed backend (measured r5s2: in-process
+                # repeats match, a fresh process differs) — a mismatch is
+                # advisory, only hlo_hash drives the drift verdict
+                else "changed" if h == "hlo_hash"
+                else "changed (advisory: cross-process nondeterministic)"
             )
         report[key] = status
     return report
@@ -203,11 +208,26 @@ def _stable_program_hash(text: str) -> str:
     tokens and ``metadata={...source_line=N}``), so unrelated edits to
     this file shifted the codegen fingerprints across rounds (observed
     r4: hlo_hash 5944667d -> 0b15081d with identical perf).  Hashing
-    only the program structure makes the drift tripwire edit-insensitive."""
+    only the program structure makes the drift tripwire edit-insensitive.
+
+    The serialized Mosaic kernel payload (``body: <base64>`` inside the
+    tpu_custom_call backend_config) is PER-TRACE NONDETERMINISTIC: the
+    same program lowered twice in one process differs by ~2 bytes of
+    MLIR bytecode (measured r5s2 — an internal counter/id), so hashing
+    it raw made the pallas fingerprints useless.  Payload bodies are
+    replaced by a length surrogate; kernel-source changes are tracked
+    by git (and usually move the length), while the tripwire's real job
+    — detecting backend drift at fixed source — rides the surrounding
+    program structure and the payload size."""
     import re
 
     text = re.sub(r'loc\("[^"]*"[^)]*\)', "loc()", text)
     text = re.sub(r"metadata=\{[^}]*\}", "", text)
+    text = re.sub(
+        r'(body\\?(?:"|\\22):\s*\\?(?:"|\\22))([A-Za-z0-9+/=]+)',
+        lambda m: m.group(1) + f"len{len(m.group(2))}",
+        text,
+    )
     return hashlib.sha256(text.encode()).hexdigest()[:16]
 
 
