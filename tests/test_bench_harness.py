@@ -174,9 +174,12 @@ def test_codegen_report_same_changed_new(tmp_path, monkeypatch):
             "hlo_hash": "cccc", "compiled_hash": "unavailable: X",
         },
     })
-    assert rep["spmm_pallas_f32"] == {
-        "hlo_hash": "same", "compiled_hash": "changed",
-    }
+    # compiled text is cross-process nondeterministic (r5s2): a mismatch
+    # is advisory, never the string "changed" that drives the stderr
+    # drift line — only hlo_hash carries the verdict
+    assert rep["spmm_pallas_f32"]["hlo_hash"] == "same"
+    assert rep["spmm_pallas_f32"]["compiled_hash"].startswith("changed (advisory")
+    assert "changed" not in (rep["spmm_pallas_f32"]["compiled_hash"],)
     assert rep["spmm_pallas_bf16"] == {"hlo_hash": "same"}
 
 
@@ -209,3 +212,27 @@ def test_stable_program_hash_ignores_source_locations():
     ha, hb, hc = map(bench._stable_program_hash, (a, b, c))
     assert ha == hb  # location-only diff -> same fingerprint
     assert ha != hc  # structural diff -> different fingerprint
+
+
+def test_stable_program_hash_normalizes_mosaic_payload():
+    """The serialized Mosaic kernel payload (body: <base64> inside the
+    tpu_custom_call backend_config) is per-trace nondeterministic —
+    ~2 bytes of MLIR bytecode differ between two lowers of the IDENTICAL
+    program in one process (measured r5s2 on v5e).  The hash replaces
+    payload bodies with a length surrogate so the fingerprint is stable
+    across traces/processes; a payload of a different LENGTH (the usual
+    signature of a real kernel change) still moves the hash."""
+    t = (
+        '%44 = stablehlo.custom_call @tpu_custom_call(%c) {backend_config'
+        ' = "{\\22custom_call_config\\22: {\\22body\\22: \\22AAAABBBBCCCC'
+        '\\22}}"}\n'
+    )
+    t2 = t.replace("AAAABBBBCCCC", "AAAABBBBCCCD")  # same length
+    t3 = t.replace("AAAABBBBCCCC", "AAAABBBBCCCCDD")  # longer payload
+    # plain-JSON quoting form (post-compile text)
+    u = '{"custom_call_config": {"body": "AAAABBBBCCCC"}}'
+    u2 = u.replace("AAAABBBBCCCC", "XXXXYYYYZZZZ")
+    h, h2, h3 = map(bench._stable_program_hash, (t, t2, t3))
+    assert h == h2      # byte-level payload churn -> same fingerprint
+    assert h != h3      # payload length change -> different fingerprint
+    assert bench._stable_program_hash(u) == bench._stable_program_hash(u2)
