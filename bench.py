@@ -117,18 +117,26 @@ def _anchor_report(extras: dict) -> tuple[dict, list, list]:
     UNLESS the anchor is marked ``known_external: true`` (documented
     backend/service drift outside our code — VERDICT r4 Next #1c), in
     which case they land in ``watch`` so a standing external flag cannot
-    bury a genuinely new regression."""
+    bury a genuinely new regression.
+
+    An anchor entry may carry its own ``tolerance_pct`` overriding the
+    global one: wall-clock arms (cv_s, cv_foldparallel_s) absorb host
+    MI/PCA derivation + tunnel dispatch variance measured at +/-45%
+    run-to-run in the r5s2 container while the device-side indicator
+    (epoch_median_s) is stable to ~1% — the tight tolerance belongs on
+    the stable metric, the wide one on the walls it rides inside."""
     try:
         with open(_ANCHORS_PATH) as f:
             spec = json.load(f)
     except Exception:
         return {}, [], []
-    tol = float(spec.get("tolerance_pct", 10))
+    tol_global = float(spec.get("tolerance_pct", 10))
     deltas, regressions, watch = {}, [], []
     for field, a in spec.get("anchors", {}).items():
         v = extras.get(field)
         if not v:
             continue
+        tol = float(a.get("tolerance_pct", tol_global))
         ref = float(a["value"])
         if a.get("better", "lower") == "lower":
             pct = (ref - v) / ref * 100.0  # positive = faster than anchor

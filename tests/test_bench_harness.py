@@ -236,3 +236,28 @@ def test_stable_program_hash_normalizes_mosaic_payload():
     assert h == h2      # byte-level payload churn -> same fingerprint
     assert h != h3      # payload length change -> different fingerprint
     assert bench._stable_program_hash(u) == bench._stable_program_hash(u2)
+
+
+def test_anchor_per_field_tolerance(tmp_path, monkeypatch):
+    """Wall-clock arms carry their own wide tolerance_pct (host MI/PCA +
+    tunnel dispatch vary +/-45% run-to-run, r5s2) while the global
+    tolerance stays tight for device-side metrics."""
+    p = tmp_path / "ANCHORS.json"
+    p.write_text(json.dumps({
+        "tolerance_pct": 10,
+        "anchors": {
+            "cv_s": {"value": 8.6, "better": "lower", "tolerance_pct": 60},
+            "epoch_median_s": {"value": 0.0095, "better": "lower",
+                               "tolerance_pct": 25},
+        },
+    }))
+    monkeypatch.setattr(bench, "_ANCHORS_PATH", str(p))
+    # -44% on the wall arm: inside its own 60% band -> not flagged
+    _, regs, _ = bench._anchor_report({"cv_s": 12.4})
+    assert regs == []
+    # -100% on the wall arm: beyond even the wide band -> flagged
+    _, regs, _ = bench._anchor_report({"cv_s": 17.2})
+    assert len(regs) == 1
+    # -30% on the device indicator: beyond its 25% band -> flagged
+    _, regs, _ = bench._anchor_report({"epoch_median_s": 0.0124})
+    assert len(regs) == 1
